@@ -1,0 +1,214 @@
+"""Fixed-shape, on-device non-maximum suppression.
+
+The reference's NMS (det_util.py:209-256) is a host NumPy greedy loop and its
+single hottest kernel (int16 casts and 12k truncation exist purely to make it
+bearable, det_util.py:70-76).  On TPU it becomes a compiled fixed-shape program
+with no host round-trip.
+
+Two implementations, identical greedy semantics:
+
+* :func:`nms_indices` — reference-style sequential greedy under ``lax.fori_loop``;
+  O(max_out) serial steps of O(N) vector work.  Exact, simple, good for small
+  ``max_out`` (inference: 300).
+* :func:`nms_mask_blocked` — the blocked iterative algorithm used by TPU
+  detection stacks: boxes are pre-sorted by score, suppression is propagated
+  tile-by-tile with (T, T) IoU blocks that map onto the VPU, giving O(N^2/T)
+  *vectorized* work and O(N/T) serial steps.  Used for the training proposal
+  path (12000 -> 2000) where the sequential loop would dominate step time.
+
+Both use the reference's +1 area convention (det_util.py:230-241) and its
+"suppress when overlap > thresh" rule (det_util.py:249).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _iou_one_vs_many(box: jax.Array, boxes: jax.Array) -> jax.Array:
+    """+1-convention IoU of one box vs a set (reference det_util.py:230-247)."""
+    x1 = jnp.maximum(box[0], boxes[:, 0])
+    y1 = jnp.maximum(box[1], boxes[:, 1])
+    x2 = jnp.minimum(box[2], boxes[:, 2])
+    y2 = jnp.minimum(box[3], boxes[:, 3])
+    iw = jnp.maximum(0.0, x2 - x1 + 1.0)
+    ih = jnp.maximum(0.0, y2 - y1 + 1.0)
+    inter = iw * ih
+    a1 = (box[2] - box[0] + 1.0) * (box[3] - box[1] + 1.0)
+    a2 = (boxes[:, 2] - boxes[:, 0] + 1.0) * (boxes[:, 3] - boxes[:, 1] + 1.0)
+    return inter / (a1 + a2 - inter)
+
+
+def nms_indices(
+    boxes: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    max_out: int,
+    iou_thresh: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Sequential greedy NMS.
+
+    Args:
+      boxes: (N, 4) float boxes.
+      scores: (N,) float scores.
+      valid: (N,) bool, False rows are padding and never selected.
+      max_out: static output count.
+      iou_thresh: suppress candidates with overlap > this vs a selected box.
+
+    Returns:
+      (indices (max_out,) int32, out_valid (max_out,) bool).  Selection order is
+      score-descending with first-index tie-breaking (the reference's unstable
+      np.argsort makes ties platform-defined; we pin them deterministically).
+    """
+    boxes = boxes.astype(jnp.float32)
+    n = boxes.shape[0]
+    active0 = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
+
+    def body(t, state):
+        active, idx_out, valid_out = state
+        i = jnp.argmax(active)
+        any_left = active[i] > NEG_INF / 2
+        iou = _iou_one_vs_many(boxes[i], boxes)
+        suppress = iou > iou_thresh
+        new_active = jnp.where(suppress & any_left, NEG_INF, active)
+        new_active = new_active.at[i].set(NEG_INF)
+        idx_out = idx_out.at[t].set(jnp.where(any_left, i, 0).astype(jnp.int32))
+        valid_out = valid_out.at[t].set(any_left)
+        return new_active, idx_out, valid_out
+
+    idx_out = jnp.zeros((max_out,), jnp.int32)
+    valid_out = jnp.zeros((max_out,), bool)
+    _, idx_out, valid_out = jax.lax.fori_loop(
+        0, max_out, body, (active0, idx_out, valid_out)
+    )
+    del n
+    return idx_out, valid_out
+
+
+def _pairwise_iou_p1(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(M, N) +1-convention IoU block."""
+    x1 = jnp.maximum(a[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(a[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(a[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(a[:, None, 3], b[None, :, 3])
+    iw = jnp.maximum(0.0, x2 - x1 + 1.0)
+    ih = jnp.maximum(0.0, y2 - y1 + 1.0)
+    inter = iw * ih
+    area_a = (a[:, 2] - a[:, 0] + 1.0) * (a[:, 3] - a[:, 1] + 1.0)
+    area_b = (b[:, 2] - b[:, 0] + 1.0) * (b[:, 3] - b[:, 1] + 1.0)
+    return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "iou_thresh"))
+def _blocked_keep_mask(boxes, iou_thresh: float, tile: int):
+    """Keep-mask of exact greedy NMS over *score-sorted* boxes.
+
+    Sweeps (tile x tile) IoU blocks: for each row-tile i, first resolves
+    suppression *within* the tile by a short serial scan, then broadcasts the
+    tile's surviving boxes against all later tiles.  Equivalent to the greedy
+    algorithm because suppression only ever flows from higher- to lower-scored
+    boxes, which the sort makes strictly left-to-right.
+    """
+    n = boxes.shape[0]
+    num_tiles = n // tile
+    keep = jnp.ones((n,), bool)
+
+    def row_tile(i, keep):
+        a = jax.lax.dynamic_slice(boxes, (i * tile, 0), (tile, 4))
+        keep_a = jax.lax.dynamic_slice(keep, (i * tile,), (tile,))
+
+        # Intra-tile: serial greedy within the tile (tile is small).
+        iou_aa = _pairwise_iou_p1(a, a)
+        tri = jnp.tril(jnp.ones((tile, tile), bool), k=-1)  # j < k pairs
+
+        def intra(k, ka):
+            # box k survives iff no earlier surviving box suppresses it
+            sup = jnp.any(ka & tri[k] & (iou_aa[k] > iou_thresh))
+            return ka.at[k].set(ka[k] & ~sup)
+
+        keep_a = jax.lax.fori_loop(0, tile, intra, keep_a)
+        keep = jax.lax.dynamic_update_slice(keep, keep_a, (i * tile,))
+
+        # Inter-tile: survivors of tile i suppress every later box.
+        def col_tile(j, keep):
+            b = jax.lax.dynamic_slice(boxes, (j * tile, 0), (tile, 4))
+            keep_b = jax.lax.dynamic_slice(keep, (j * tile,), (tile,))
+            iou_ab = _pairwise_iou_p1(a, b)
+            sup = jnp.any(keep_a[:, None] & (iou_ab > iou_thresh), axis=0)
+            keep = jax.lax.dynamic_update_slice(keep, keep_b & ~sup, (j * tile,))
+            return keep
+
+        return jax.lax.fori_loop(i + 1, num_tiles, col_tile, keep)
+
+    return jax.lax.fori_loop(0, num_tiles, row_tile, keep)
+
+
+def nms_sorted_mask_blocked(
+    boxes: jax.Array,
+    valid: jax.Array,
+    iou_thresh: float,
+    tile: int = 256,
+) -> jax.Array:
+    """Keep-mask for boxes that are ALREADY sorted by descending score.
+
+    Invalid (padding) rows must be sorted to the end (they are, since padding
+    scores are -inf).  Padding rows are given a far-away degenerate box so they
+    never suppress anything, and are masked out of the result.
+    """
+    n = boxes.shape[0]
+    if n % tile != 0:
+        raise ValueError(f"n={n} must be a multiple of tile={tile}")
+    boxes = boxes.astype(jnp.float32)
+    # Send padded rows to isolated corners so their IoU vs anything real is 0.
+    far = jnp.float32(-1e8)
+    boxes = jnp.where(valid[:, None], boxes, jnp.array([far, far, far, far]))
+    keep = _blocked_keep_mask(boxes, float(iou_thresh), tile)
+    return keep & valid
+
+
+def nms_topk(
+    boxes: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    max_out: int,
+    iou_thresh: float,
+    tile: int = 256,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Full proposal-style NMS: sort by score, blocked suppression, take the
+    first ``max_out`` survivors (score order), return (boxes, scores, valid).
+
+    This is the TPU replacement for the reference's
+    ``sort -> truncate -> nms(max_boxes)`` chain at det_util.py:71-77.
+    """
+    n = boxes.shape[0]
+    scores = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    valid_s = scores_s > NEG_INF / 2
+
+    pad = (-n) % tile
+    if pad:
+        boxes_s = jnp.pad(boxes_s, ((0, pad), (0, 0)))
+        scores_s = jnp.pad(scores_s, (0, pad), constant_values=NEG_INF)
+        valid_s = jnp.pad(valid_s, (0, pad))
+
+    keep = nms_sorted_mask_blocked(boxes_s, valid_s, iou_thresh, tile=tile)
+
+    # Stable-compact survivors to the front, preserving score order.
+    rank = jnp.cumsum(keep) - 1                      # output slot per survivor
+    slot = jnp.where(keep, rank, boxes_s.shape[0] - 1)
+    perm = jnp.zeros((boxes_s.shape[0],), jnp.int32)
+    src = jnp.arange(boxes_s.shape[0], dtype=jnp.int32)
+    # scatter: perm[slot[i]] = i for kept i (later writes only hit the dump slot)
+    perm = perm.at[slot].set(jnp.where(keep, src, 0), mode="drop")
+    out_idx = perm[:max_out]
+    out_valid = jnp.arange(max_out) < jnp.sum(keep)
+    out_boxes = jnp.where(out_valid[:, None], boxes_s[out_idx], 0.0)
+    out_scores = jnp.where(out_valid, scores_s[out_idx], NEG_INF)
+    return out_boxes, out_scores, out_valid
