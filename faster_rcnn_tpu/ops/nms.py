@@ -104,48 +104,65 @@ def _pairwise_iou_p1(a: jax.Array, b: jax.Array) -> jax.Array:
     return inter / (area_a[:, None] + area_b[None, :] - inter)
 
 
+def _self_suppress_fixpoint(iou_gt: jax.Array, keep0: jax.Array) -> jax.Array:
+    """Greedy keep-mask within one score-sorted tile by chaotic iteration.
+
+    The greedy recurrence ``keep[k] = keep0[k] & ~∃ j<k: keep[j] & iou[j,k]>t``
+    has a unique solution over the strict order j<k; iterating it from all-True
+    converges to that solution in at most chain-depth steps (the standard TPU
+    NMS trick — typically 2-4 iterations, worst case T).
+
+    Args:
+      iou_gt: (T, T) bool, iou[j, k] > thresh.
+      keep0: (T,) bool, externally-unsuppressed candidates.
+    """
+    t = keep0.shape[0]
+    tri = jnp.tril(iou_gt, k=-1)  # j<k pairs only: tri[k, j] with j<k
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.any(keep != prev) & (it < t)
+
+    def body(state):
+        keep, _, it = state
+        sup = jnp.any(tri & keep[None, :], axis=1)  # (T,) suppressed by survivor j<k
+        return keep0 & ~sup, keep, it + 1
+
+    init = (keep0, jnp.zeros_like(keep0), 0)
+    keep, _, _ = jax.lax.while_loop(cond, body, init)
+    return keep
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "iou_thresh"))
 def _blocked_keep_mask(boxes, iou_thresh: float, tile: int):
     """Keep-mask of exact greedy NMS over *score-sorted* boxes.
 
-    Sweeps (tile x tile) IoU blocks: for each row-tile i, first resolves
-    suppression *within* the tile by a short serial scan, then broadcasts the
-    tile's surviving boxes against all later tiles.  Equivalent to the greedy
-    algorithm because suppression only ever flows from higher- to lower-scored
-    boxes, which the sort makes strictly left-to-right.
+    One serial phase per tile (N/T phases): tile i is first suppressed by all
+    earlier survivors in a single (N, T) vectorized IoU sweep, then resolved
+    internally by fixpoint iteration.  All heavy work is VPU-friendly
+    broadcasting; the serial depth is N/T instead of N.
     """
     n = boxes.shape[0]
     num_tiles = n // tile
-    keep = jnp.ones((n,), bool)
+    idx = jnp.arange(n)
 
-    def row_tile(i, keep):
+    def phase(i, keep):
         a = jax.lax.dynamic_slice(boxes, (i * tile, 0), (tile, 4))
         keep_a = jax.lax.dynamic_slice(keep, (i * tile,), (tile,))
 
-        # Intra-tile: serial greedy within the tile (tile is small).
-        iou_aa = _pairwise_iou_p1(a, a)
-        tri = jnp.tril(jnp.ones((tile, tile), bool), k=-1)  # j < k pairs
+        # Suppression from all earlier surviving boxes: (N, T) sweep.
+        earlier = keep & (idx < i * tile)
+        iou_all = _pairwise_iou_p1(boxes, a)                    # (N, T)
+        sup = jnp.any(earlier[:, None] & (iou_all > iou_thresh), axis=0)
+        keep_a = keep_a & ~sup
 
-        def intra(k, ka):
-            # box k survives iff no earlier surviving box suppresses it
-            sup = jnp.any(ka & tri[k] & (iou_aa[k] > iou_thresh))
-            return ka.at[k].set(ka[k] & ~sup)
+        # Intra-tile greedy via fixpoint.
+        iou_aa = _pairwise_iou_p1(a, a) > iou_thresh
+        # orient as [k, j]: row k suppressed by col j (j earlier in tile)
+        keep_a = _self_suppress_fixpoint(iou_aa.T, keep_a)
+        return jax.lax.dynamic_update_slice(keep, keep_a, (i * tile,))
 
-        keep_a = jax.lax.fori_loop(0, tile, intra, keep_a)
-        keep = jax.lax.dynamic_update_slice(keep, keep_a, (i * tile,))
-
-        # Inter-tile: survivors of tile i suppress every later box.
-        def col_tile(j, keep):
-            b = jax.lax.dynamic_slice(boxes, (j * tile, 0), (tile, 4))
-            keep_b = jax.lax.dynamic_slice(keep, (j * tile,), (tile,))
-            iou_ab = _pairwise_iou_p1(a, b)
-            sup = jnp.any(keep_a[:, None] & (iou_ab > iou_thresh), axis=0)
-            keep = jax.lax.dynamic_update_slice(keep, keep_b & ~sup, (j * tile,))
-            return keep
-
-        return jax.lax.fori_loop(i + 1, num_tiles, col_tile, keep)
-
-    return jax.lax.fori_loop(0, num_tiles, row_tile, keep)
+    return jax.lax.fori_loop(0, num_tiles, phase, jnp.ones((n,), bool))
 
 
 def nms_sorted_mask_blocked(
