@@ -1,0 +1,142 @@
+"""Host input pipeline: fixed-canvas padded batches with background prefetch.
+
+The reference trains batch-1, loading + resizing each image from disk with
+cv2 inside the hot loop (shapes.py:24-29, SURVEY.md §3.1 "DISK + HOST CPU").
+Here the host pipeline:
+
+* pads each resized image into a static canvas (TPU needs fixed shapes) and
+  records the true (h, w) so anchors over padding are excluded on device;
+* buckets by orientation — VOC's min-600/max-1000 policy yields landscape
+  (<=608 x <=1024) and portrait (<=1024 x <=608) images; each bucket gets its
+  own canvas so landscape batches don't pay portrait padding (the TPU version
+  of aspect-ratio grouping);
+* shuffles per epoch like train_util.py:38-43 (round-robin, reshuffle at
+  wraparound) and prefetches decoded batches on worker threads so the TPU
+  never waits on JPEG decode.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from faster_rcnn_tpu.config import FasterRcnnConfig
+from faster_rcnn_tpu.data.voc import ImageRecord
+from faster_rcnn_tpu.models.detector import preprocess_rgb
+
+
+def canvas_for(record: ImageRecord, cfg: FasterRcnnConfig) -> Tuple[int, int]:
+    """Canvas (h, w) for a record: cfg canvas for landscape, swapped for
+    portrait."""
+    ch, cw = cfg.data.canvas
+    if record.height > record.width and ch < cw:
+        return (cw, ch)
+    return (ch, cw)
+
+
+def prepare_example(
+    record: ImageRecord,
+    class_mapping: Dict[str, int],
+    cfg: FasterRcnnConfig,
+    canvas: Optional[Tuple[int, int]] = None,
+) -> Dict[str, np.ndarray]:
+    """Decode + preprocess one image into fixed-shape arrays."""
+    ch, cw = canvas or canvas_for(record, cfg)
+    pixels = record.load_pixels()
+    h, w = pixels.shape[:2]
+    if h > ch or w > cw:
+        raise ValueError(f"image {record.name} ({h}x{w}) exceeds canvas ({ch}x{cw})")
+
+    img = np.zeros((ch, cw, 3), np.float32)
+    img[:h, :w] = preprocess_rgb(pixels)
+
+    g = cfg.data.max_gt_boxes
+    gt_boxes = np.zeros((g, 4), np.float32)
+    gt_class = np.full((g,), len(class_mapping) - 1, np.int32)
+    gt_valid = np.zeros((g,), bool)
+    for i, box in enumerate(record.gt_boxes[:g]):
+        gt_boxes[i] = box.corners
+        gt_class[i] = class_mapping[box.obj_cls]
+        gt_valid[i] = True
+
+    return {
+        "image": img,
+        "gt_boxes": gt_boxes,
+        "gt_class": gt_class,
+        "gt_valid": gt_valid,
+        "img_hw": np.array([h, w], np.int32),
+    }
+
+
+def _stack(examples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    return {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+
+
+class TrainLoader:
+    """Infinite shuffled batch iterator with orientation bucketing.
+
+    Yields (canvas, batch) tuples; batches are orientation-homogeneous so each
+    canvas corresponds to one compiled train-step executable.
+    """
+
+    def __init__(
+        self,
+        records: Sequence[ImageRecord],
+        class_mapping: Dict[str, int],
+        cfg: FasterRcnnConfig,
+        batch_size: int,
+        seed: int = 0,
+        prefetch: int = 4,
+        num_workers: int = 4,
+    ):
+        self.cfg = cfg
+        self.class_mapping = class_mapping
+        self.batch_size = batch_size
+        self.rng = np.random.RandomState(seed)
+        self.buckets: Dict[Tuple[int, int], List[ImageRecord]] = {}
+        for r in records:
+            self.buckets.setdefault(canvas_for(r, cfg), []).append(r)
+        self._prefetch = prefetch
+        self._num_workers = num_workers
+
+    def _record_stream(self) -> Iterator[Tuple[Tuple[int, int], List[ImageRecord]]]:
+        """Round-robin over epochs; reshuffle each epoch (train_util.py:38-43).
+        Within an epoch, emit full orientation-homogeneous batches."""
+        while True:
+            pending: Dict[Tuple[int, int], List[ImageRecord]] = {}
+            order = []
+            for canvas, recs in self.buckets.items():
+                idx = self.rng.permutation(len(recs))
+                order.extend((canvas, recs[i]) for i in idx)
+            self.rng.shuffle(order)
+            for canvas, rec in order:
+                pending.setdefault(canvas, []).append(rec)
+                if len(pending[canvas]) == self.batch_size:
+                    yield canvas, pending.pop(canvas)
+            # drop ragged tails; the infinite stream makes them irrelevant
+
+    def __iter__(self) -> Iterator[Tuple[Tuple[int, int], Dict[str, np.ndarray]]]:
+        stream = self._record_stream()
+        q: queue.Queue = queue.Queue(maxsize=self._prefetch)
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                with lock:
+                    try:
+                        canvas, recs = next(stream)
+                    except StopIteration:  # pragma: no cover - infinite stream
+                        return
+                batch = _stack(
+                    [prepare_example(r, self.class_mapping, self.cfg, canvas) for r in recs]
+                )
+                q.put((canvas, batch))
+
+        for _ in range(self._num_workers):
+            threading.Thread(target=worker, daemon=True).start()
+
+        while True:
+            yield q.get()
