@@ -1,0 +1,53 @@
+"""Unified training CLI: the reference's four scripts as one driver.
+
+    python -m faster_rcnn_tpu.cli.train --step 1 --voc_paths /data/VOC2007 ...
+    python -m faster_rcnn_tpu.cli.train --step all ...
+
+Replaces train_rpn_step1.py / train_det_step2.py / train_rpn_step3.py /
+train_det_step4.py (SURVEY.md C14) — the weight handoff between steps is
+automatic via the workdir checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from faster_rcnn_tpu.cli.common import add_common_args, class_mapping_from_args, config_from_args
+from faster_rcnn_tpu.data.voc import load_dataset
+from faster_rcnn_tpu.train.trainer import run_four_step_training
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p, training=True)
+    p.add_argument("--step", default="all",
+                   help="1|2|3|4, comma list (e.g. 1,2), or 'all'")
+    args = p.parse_args(argv)
+
+    cfg = config_from_args(args)
+    class_mapping = class_mapping_from_args(args)
+    records, _ = load_dataset(
+        args.voc_paths.split(","),
+        args.img_set,
+        flip=args.flip,
+        resize_min=cfg.data.resize_min,
+        resize_max=cfg.data.resize_max,
+    )
+    print(f"loaded {len(records)} training records")
+
+    steps = (
+        (1, 2, 3, 4)
+        if args.step == "all"
+        else tuple(int(s) for s in str(args.step).split(","))
+    )
+    results = run_four_step_training(
+        cfg, records, class_mapping, args.workdir, steps=steps,
+        batch_size=args.batch_size, save_frequency=args.save_frequency,
+        seed=args.seed,
+    )
+    for s, r in results.items():
+        print(f"step {s} final metrics: {r.final_metrics}")
+
+
+if __name__ == "__main__":
+    main()

@@ -197,10 +197,9 @@ def make_det_train_step(
     model: FasterRCNN,
     tx: optax.GradientTransformation,
     batch_stats,
-    rpn_variables,
     heads_only: bool = False,
 ):
-    """Detector train step.
+    """Detector train step: (state, batch, keys, rpn_vars) -> (state, metrics).
 
     heads_only=False (step 2): proposals from the frozen RPN; the detector's
       OWN backbone (trainable, inside ``params``) feeds RoI align — exactly the
@@ -212,9 +211,9 @@ def make_det_train_step(
     """
     pre, post = cfg.rpn.train_pre_nms, cfg.rpn.train_post_nms
 
-    def loss_fn(params, batch, keys):
+    def loss_fn(params, batch, keys, rpn_vars):
         feat_rpn, pboxes, _, pvalid = rpn_forward_proposals(
-            cfg, model, rpn_variables, batch["image"], batch["img_hw"], pre, post
+            cfg, model, rpn_vars, batch["image"], batch["img_hw"], pre, post
         )
         pboxes = jax.lax.stop_gradient(pboxes)
 
@@ -248,9 +247,12 @@ def make_det_train_step(
         }
         return l_cls + l_reg, aux
 
-    def step(state: TrainState, batch, keys):
+    def step(state: TrainState, batch, keys, rpn_vars):
+        """``rpn_vars`` is a runtime argument (device-resident frozen RPN
+        tree) — closing over it would bake 100s of MB of weights into the
+        compiled program as literal constants."""
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, keys
+            state.params, batch, keys, rpn_vars
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -1,0 +1,243 @@
+"""Training orchestration: the 4-step alternating scheme as one driver.
+
+Reference wiring being reproduced (SURVEY.md §3.1-3.2, C14):
+
+  step 1  RPN (backbone + rpn head) from ImageNet; freeze low blocks
+          (train_rpn_step1.py:55-90).
+  step 2  fresh detector (own backbone + det head) trained on proposals from
+          the FROZEN step-1 RPN (train_det_step2.py:110-115).
+  step 3  RPN again: backbone taken from step 2, fully frozen; rpn head
+          retrained from scratch (train_rpn_step3.py:60-93).
+  step 4  detector head only, on the frozen step-3 model's conv features
+          (train_det_step4.py:69-95).  After step 4 the combined tree
+          (backbone+rpn from step 3, det head from step 4) is the final model.
+
+Differences by design (documented): LR phases are an optax schedule instead of
+recompiles; batch size is >= 1 and data-parallel over the mesh; checkpoints
+carry optimizer state and support auto-resume; iteration counts are in
+*images*, so with batch B the reference's 80k single-image iterations
+correspond to 80k/B steps (pass --phases accordingly).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faster_rcnn_tpu.config import FasterRcnnConfig
+from faster_rcnn_tpu.data.pipeline import TrainLoader
+from faster_rcnn_tpu.data.voc import ImageRecord
+from faster_rcnn_tpu.models.detector import FasterRCNN, init_model
+from faster_rcnn_tpu.parallel import mesh as mesh_lib
+from faster_rcnn_tpu.parallel.freeze import make_optimizer
+from faster_rcnn_tpu.train import pipeline
+from faster_rcnn_tpu.train.schedule import schedule_from_phases, total_iterations
+from faster_rcnn_tpu.utils import checkpoint as ckpt_lib
+
+ALL_BLOCKS = {"vgg16": (1, 2, 3, 4, 5), "resnet50": (1, 2, 3, 4), "resnet101": (1, 2, 3, 4)}
+
+
+def step_freeze_spec(step: int, cfg: FasterRcnnConfig):
+    """(freeze_blocks, freeze_modules) per training step."""
+    net = cfg.model.network
+    if step == 1:
+        return cfg.model.freeze_blocks, ("det_head",)
+    if step == 2:
+        return cfg.model.freeze_blocks, ("rpn_head",)
+    if step == 3:  # whole backbone frozen (train_rpn_step3.py:60-81)
+        return ALL_BLOCKS[net], ("det_head", "backbone")
+    if step == 4:  # heads only
+        return ALL_BLOCKS[net], ("backbone", "rpn_head")
+    raise ValueError(step)
+
+
+def merge_params(dst, src, top_keys: Sequence[str]):
+    """Copy top-level submodule trees (e.g. 'backbone') from src into dst."""
+    out = dict(dst)
+    for k in top_keys:
+        if k in src:
+            out[k] = src[k]
+    return out
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: Dict
+    batch_stats: Dict
+    final_metrics: Dict
+
+
+def train_one_step(
+    step: int,
+    cfg: FasterRcnnConfig,
+    records: Sequence[ImageRecord],
+    class_mapping: Dict[str, int],
+    workdir: str,
+    init_params: Optional[Dict] = None,
+    rpn_params: Optional[Dict] = None,
+    batch_size: Optional[int] = None,
+    save_frequency: Optional[int] = None,
+    log_every: int = 20,
+    max_steps: Optional[int] = None,
+    seed: int = 0,
+    devices=None,
+) -> TrainResult:
+    """Run one of the 4 training steps to completion (with auto-resume).
+
+    Args:
+      init_params: starting parameter tree (handoff from earlier steps);
+        fresh init if None.
+      rpn_params: frozen RPN parameter tree for proposal generation
+        (required for steps 2/4).
+    """
+    is_rpn_step = step in (1, 3)
+    batch_size = batch_size or cfg.train.batch_size
+    save_frequency = save_frequency or cfg.train.save_frequency
+
+    model, variables = init_model(jax.random.PRNGKey(seed), cfg)
+    batch_stats = variables.get("batch_stats", {})
+    params = init_params if init_params is not None else variables["params"]
+
+    lr = schedule_from_phases(cfg.train.phases)
+    freeze_blocks, freeze_modules = step_freeze_spec(step, cfg)
+    tx = make_optimizer(
+        params,
+        cfg.model.network,
+        freeze_blocks,
+        lr,
+        optimizer=cfg.train.optimizer,
+        momentum=cfg.train.momentum,
+        weight_decay=cfg.model.weight_decay,
+        freeze_modules=freeze_modules,
+    )
+
+    step_fns: Dict = {}
+    rpn_vs = (
+        None
+        if is_rpn_step
+        else jax.device_put({"params": rpn_params, "batch_stats": batch_stats})
+    )
+
+    def step_fn_for(canvas):
+        """One compiled executable per canvas (landscape/portrait buckets)."""
+        if canvas not in step_fns:
+            cfg_c = cfg.replace(
+                data=dataclasses.replace(cfg.data, canvas_h=canvas[0], canvas_w=canvas[1])
+            )
+            if is_rpn_step:
+                fn = pipeline.make_rpn_train_step(cfg_c, model, tx, batch_stats)
+            else:
+                fn = pipeline.make_det_train_step(
+                    cfg_c, model, tx, batch_stats, heads_only=(step == 4)
+                )
+            step_fns[canvas] = jax.jit(fn, donate_argnums=(0,))
+        return step_fns[canvas]
+
+    state = pipeline.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+    ckpt_dir = os.path.join(workdir, f"step{step}")
+    start = ckpt_lib.latest_step(ckpt_dir)
+    if start is not None:
+        restored = ckpt_lib.restore(ckpt_dir, start, template={"state": state})
+        state = restored["state"]
+        print(f"[step {step}] resumed from iteration {start}")
+        start_iter = int(start)
+    else:
+        start_iter = 0
+
+    total = max_steps if max_steps is not None else total_iterations(cfg.train.phases)
+
+    # Multi-device: shard the batch over the 'data' mesh axis; jit propagates
+    # the sharding through the step and inserts the gradient all-reduce.
+    the_mesh = (
+        mesh_lib.create_mesh(devices=devices)
+        if devices or len(jax.devices()) > 1
+        else None
+    )
+    loader = TrainLoader(records, class_mapping, cfg, batch_size, seed=seed)
+    it = iter(loader)
+    key = jax.random.PRNGKey(seed + 1000 * step)
+
+    metrics = {}
+    t0 = time.time()
+    for i in range(start_iter, total):
+        canvas, batch = next(it)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, batch_size)
+        if the_mesh is not None:
+            batch = mesh_lib.shard_batch(the_mesh, batch)
+            keys = jax.device_put(keys, mesh_lib.batch_sharding(the_mesh))
+        else:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if is_rpn_step:
+            state, metrics = step_fn_for(canvas)(state, batch, keys)
+        else:
+            state, metrics = step_fn_for(canvas)(state, batch, keys, rpn_vs)
+
+        if (i + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            rate = (i + 1 - start_iter) * batch_size / (time.time() - t0)
+            print(f"[step {step}] iter {i+1}/{total} {m} ({rate:.2f} img/s)")
+        if (i + 1) % save_frequency == 0 or (i + 1) == total:
+            ckpt_lib.save(ckpt_dir, i + 1, {"state": state}, wait=(i + 1 == total))
+
+    return TrainResult(
+        params=state.params, batch_stats=batch_stats,
+        final_metrics={k: float(v) for k, v in metrics.items()},
+    )
+
+
+def run_four_step_training(
+    cfg: FasterRcnnConfig,
+    records: Sequence[ImageRecord],
+    class_mapping: Dict[str, int],
+    workdir: str,
+    steps: Sequence[int] = (1, 2, 3, 4),
+    **kw,
+) -> Dict[int, TrainResult]:
+    """Drive steps 1..4 with the reference's weight handoff."""
+    results: Dict[int, TrainResult] = {}
+    model, variables = init_model(jax.random.PRNGKey(cfg.train.seed), cfg)
+    fresh = variables["params"]
+
+    step1 = step2 = step3 = None
+    for s in steps:
+        if s == 1:
+            r = train_one_step(1, cfg, records, class_mapping, workdir, **kw)
+            step1 = r.params
+        elif s == 2:
+            rpn = step1 if step1 is not None else _load_step_params(workdir, 1, fresh)
+            r = train_one_step(
+                2, cfg, records, class_mapping, workdir,
+                init_params=fresh, rpn_params=rpn, **kw,
+            )
+            step2 = r.params
+        elif s == 3:
+            det2 = step2 if step2 is not None else _load_step_params(workdir, 2, fresh)
+            # backbone from step 2, rpn head fresh (train_rpn_step3.py:92-93)
+            init = merge_params(fresh, det2, ["backbone"])
+            r = train_one_step(3, cfg, records, class_mapping, workdir, init_params=init, **kw)
+            step3 = r.params
+        elif s == 4:
+            rpn3 = step3 if step3 is not None else _load_step_params(workdir, 3, fresh)
+            init = merge_params(fresh, rpn3, ["backbone", "rpn_head"])
+            r = train_one_step(
+                4, cfg, records, class_mapping, workdir,
+                init_params=init, rpn_params=rpn3, **kw,
+            )
+        else:
+            raise ValueError(s)
+        results[s] = r
+    return results
+
+
+def _load_step_params(workdir: str, step: int, template_params):
+    state_t = pipeline.TrainState(template_params, None, jnp.zeros((), jnp.int32))
+    restored = ckpt_lib.restore(os.path.join(workdir, f"step{step}"))
+    return restored["state"]["params"] if isinstance(restored, dict) else restored.params

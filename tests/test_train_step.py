@@ -122,13 +122,13 @@ class TestDetTrainStep:
         state = pipeline.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
         step = jax.jit(
             pipeline.make_det_train_step(
-                cfg, model, tx, variables.get("batch_stats", {}),
-                rpn_variables=variables, heads_only=heads_only,
+                cfg, model, tx, variables.get("batch_stats", {}), heads_only=heads_only,
             )
         )
         batch = tiny_batch(cfg)
         keys = jax.random.split(jax.random.PRNGKey(3), 2)
-        new_state, metrics = step(state, batch, keys)
+        rpn_vs = jax.device_put(variables)
+        new_state, metrics = step(state, batch, keys, rpn_vs)
         assert np.isfinite(float(metrics["loss"]))
         assert int(metrics["num_valid_images"]) >= 1
 
