@@ -188,6 +188,34 @@ def nms_sorted_mask_blocked(
     return keep & valid
 
 
+def sort_by_score(
+    boxes: jax.Array, scores: jax.Array, valid: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Score-descending sort of (boxes, scores, valid) as ONE variadic
+    lax.sort.
+
+    Implementation is backend-conditional, chosen by measurement:
+      * TPU: ONE variadic lax.sort.  argsort whose index output feeds several
+        gathers that feed a lax loop triggers a pathological (minutes-long)
+        XLA:TPU compile; the multi-operand sort compiles ~10x faster.
+      * CPU: argsort + gathers.  There the variadic sort is the pathological
+        one (~10 min compiles) and argsort is instant.
+    Invalid rows sink to the end (score -inf) either way.
+    """
+    s = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
+    if jax.default_backend() == "tpu":
+        ops = jax.lax.sort(
+            (-s, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]), num_keys=1
+        )
+        scores_s = -ops[0]
+        boxes_s = jnp.stack(ops[1:5], axis=1)
+    else:
+        order = jnp.argsort(-s)
+        scores_s = s[order]
+        boxes_s = boxes[order]
+    return boxes_s, scores_s, scores_s > NEG_INF / 2
+
+
 def nms_topk(
     boxes: jax.Array,
     scores: jax.Array,
@@ -195,19 +223,24 @@ def nms_topk(
     max_out: int,
     iou_thresh: float,
     tile: int = 256,
+    presorted: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full proposal-style NMS: sort by score, blocked suppression, take the
     first ``max_out`` survivors (score order), return (boxes, scores, valid).
 
     This is the TPU replacement for the reference's
     ``sort -> truncate -> nms(max_boxes)`` chain at det_util.py:71-77.
+
+    ``presorted=True`` skips the sort — use when the input already comes from
+    ``top_k`` (descending scores with -inf padding).
     """
     n = boxes.shape[0]
-    scores = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
-    order = jnp.argsort(-scores)
-    boxes_s = boxes[order]
-    scores_s = scores[order]
-    valid_s = scores_s > NEG_INF / 2
+    if presorted:
+        scores_s = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
+        boxes_s = boxes
+        valid_s = scores_s > NEG_INF / 2
+    else:
+        boxes_s, scores_s, valid_s = sort_by_score(boxes, scores, valid)
 
     pad = (-n) % tile
     if pad:

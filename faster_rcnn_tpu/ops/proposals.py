@@ -90,6 +90,7 @@ def generate_proposals(
     top_valid = top_scores > nms_ops.NEG_INF / 2
 
     boxes, scores, ok = nms_ops.nms_topk(
-        top_boxes, top_scores, top_valid, post_nms, iou_thresh, tile=nms_tile
+        top_boxes, top_scores, top_valid, post_nms, iou_thresh, tile=nms_tile,
+        presorted=True,  # top_k output is already score-descending
     )
     return Proposals(boxes=boxes, scores=scores, valid=ok)
