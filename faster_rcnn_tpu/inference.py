@@ -76,17 +76,28 @@ def _decode_one_image(cfg: FasterRcnnConfig, rois, roi_valid, cls_prob, reg_out)
     return boxes[idx], conf[idx], cls_idx[idx].astype(jnp.int32), ok
 
 
-def make_detect_fn(cfg: FasterRcnnConfig, model: FasterRCNN, variables):
+def make_detect_fn(
+    cfg: FasterRcnnConfig, model: FasterRCNN, variables, uint8_input: bool = False
+):
     """Build the jitted (images, img_hw) -> Detections function.
 
     ``variables`` must hold the FULL final model (backbone + rpn_head from
     step 3, det_head from step 4 — or a jointly trained tree).  The variables
     are passed as a jit *argument* (device-resident), never closed over —
     closing over them would embed hundreds of MB of weights as XLA constants.
+
+    ``uint8_input=True`` accepts raw RGB uint8 canvases and runs the
+    BGR-flip + ImageNet mean subtraction on device — 4x less host->device
+    traffic, the production serving configuration.
     """
+    from faster_rcnn_tpu.models.detector import IMAGENET_BGR_MEANS
+
+    means = jnp.asarray(IMAGENET_BGR_MEANS)
 
     @jax.jit
     def detect(vs, images, img_hw):
+        if uint8_input:
+            images = images[..., ::-1].astype(jnp.float32) - means
         feat, pboxes, _, pvalid = rpn_forward_proposals(
             cfg, model, vs, images, img_hw,
             cfg.rpn.infer_pre_nms, cfg.rpn.infer_post_nms,

@@ -1,0 +1,139 @@
+"""Keras h5 weight import: the reference's ``by_name`` transplant contract.
+
+The 4-step pipeline hands weights between steps as Keras h5 files matched by
+layer name (train_rpn_step3.py:92-93; vgg.py:191-195; resnet.py:481-485), and
+initializes backbones from the Keras ImageNet h5s.  This module maps those h5
+layouts onto our Flax parameter trees so that (a) ImageNet weights can seed
+training when the h5 is available locally, and (b) reference-trained weights
+can be imported for parity evaluation.
+
+Layout facts handled:
+  * Keras h5: root attr ``layer_names``; each layer group has
+    ``weight_names`` entries like ``res2a_branch2a/kernel:0`` (Keras>=2.0)
+    whose datasets hold the arrays.  Nested under ``model_weights/`` for
+    full-model saves.
+  * Conv kernels are HWIO in both Keras (TF backend) and Flax — no transpose.
+  * Dense kernels are (in, out) in both.
+  * BatchNormalization gamma/beta/moving_mean/moving_variance map to our
+    FrozenBatchNorm scale/bias (params) + mean/var (batch_stats).
+  * The reference's custom Scale layer has gamma/beta -> ChannelScale
+    scale/bias.
+
+Matching rule mirrors Keras by_name: an h5 layer applies to every Flax module
+whose path contains a component equal to the layer name.  Layers with no
+match are skipped (exactly Keras's silent-skip semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+def _collect_h5_layers(f) -> Dict[str, Dict[str, np.ndarray]]:
+    """{layer_name: {short_weight_name: array}} from a Keras h5 file."""
+    root = f["model_weights"] if "model_weights" in f else f
+    layers: Dict[str, Dict[str, np.ndarray]] = {}
+    layer_names = [
+        n.decode() if isinstance(n, bytes) else n for n in root.attrs.get("layer_names", [])
+    ]
+    for lname in layer_names:
+        g = root[lname]
+        weight_names = [
+            n.decode() if isinstance(n, bytes) else n for n in g.attrs.get("weight_names", [])
+        ]
+        if not weight_names:
+            continue
+        weights = {}
+        for wn in weight_names:
+            short = wn.split("/")[-1].split(":")[0]  # 'kernel', 'gamma', ...
+            weights[short] = np.asarray(g[wn])
+        layers[lname] = weights
+    return layers
+
+
+_PARAM_MAP = {  # keras short name -> flax leaf name
+    "kernel": "kernel",
+    "bias": "bias",
+    "gamma": "scale",
+    "beta": "bias",
+}
+_STATS_MAP = {
+    "moving_mean": "mean",
+    "moving_variance": "var",
+}
+
+
+def _walk(tree: Dict, path: Tuple[str, ...] = ()):
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            yield from _walk(v, path + (k,))
+        else:
+            yield path + (k,), v
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value):
+    node = tree
+    for k in path[:-1]:
+        node = node[k]
+    node[path[-1]] = value
+
+
+def load_keras_h5(
+    h5_path: str,
+    params: Dict,
+    batch_stats: Optional[Dict] = None,
+    verbose: bool = False,
+) -> Tuple[Dict, Dict, List[str]]:
+    """Transplant h5 weights into copies of (params, batch_stats) by name.
+
+    Returns (new_params, new_batch_stats, loaded_layer_names).
+    """
+    import copy
+
+    import h5py
+
+    params = copy.deepcopy(jax_to_py(params))
+    batch_stats = copy.deepcopy(jax_to_py(batch_stats or {}))
+
+    with h5py.File(h5_path, "r") as f:
+        layers = _collect_h5_layers(f)
+
+    # index our modules by path for containment matching
+    param_paths = list(_walk(params))
+    stats_paths = list(_walk(batch_stats))
+    loaded = []
+
+    for lname, weights in layers.items():
+        hit = False
+        for short, arr in weights.items():
+            if short in _PARAM_MAP:
+                leaf = _PARAM_MAP[short]
+                for path, val in param_paths:
+                    if lname in path[:-1] and path[-1] == leaf:
+                        # disambiguate BN gamma->scale vs conv kernel etc. by
+                        # requiring shape match
+                        if tuple(np.shape(val)) == tuple(arr.shape):
+                            _set(params, path, arr.astype(np.float32))
+                            hit = True
+            elif short in _STATS_MAP:
+                leaf = _STATS_MAP[short]
+                for path, val in stats_paths:
+                    if lname in path[:-1] and path[-1] == leaf:
+                        if tuple(np.shape(val)) == tuple(arr.shape):
+                            _set(batch_stats, path, arr.astype(np.float32))
+                            hit = True
+        if hit:
+            loaded.append(lname)
+        elif verbose:
+            print(f"keras_import: no match for layer {lname}")
+
+    return params, batch_stats, loaded
+
+
+def jax_to_py(tree):
+    """Convert a (possibly frozen/flax) tree of arrays to plain nested dicts."""
+    if hasattr(tree, "items"):
+        return {k: jax_to_py(v) for k, v in tree.items()}
+    return np.asarray(tree)
