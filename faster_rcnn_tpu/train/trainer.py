@@ -155,11 +155,10 @@ def train_one_step(
 
     # Multi-device: shard the batch over the 'data' mesh axis; jit propagates
     # the sharding through the step and inserts the gradient all-reduce.
-    the_mesh = (
-        mesh_lib.create_mesh(devices=devices)
-        if devices or len(jax.devices()) > 1
-        else None
-    )
+    avail = list(devices) if devices else jax.devices()
+    n_data = min(len(avail), batch_size)
+    use_mesh = n_data > 1 and batch_size % n_data == 0
+    the_mesh = mesh_lib.create_mesh(devices=avail[:n_data]) if use_mesh else None
     loader = TrainLoader(records, class_mapping, cfg, batch_size, seed=seed)
     it = iter(loader)
     key = jax.random.PRNGKey(seed + 1000 * step)

@@ -16,6 +16,16 @@ os.environ["XLA_FLAGS"] = (
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Some pytest plugins import jax before this conftest runs, in which case the
+# env var above is read too late and tests silently run against the remote
+# TPU tunnel.  Forcing the config value (allowed any time before first
+# backend use) makes the CPU selection robust.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert jax.device_count() == 8, "host-platform device count flag not applied"
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
