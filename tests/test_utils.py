@@ -82,10 +82,10 @@ class TestSchedule:
 
     def test_schedule_values(self):
         s = schedule_from_phases([(100, 1e-3), (50, 1e-4)])
-        assert float(s(0)) == 1e-3
-        assert float(s(99)) == 1e-3
-        assert float(s(100)) == 1e-4
-        assert float(s(149)) == 1e-4
+        np.testing.assert_allclose(float(s(0)), 1e-3, rtol=1e-6)
+        np.testing.assert_allclose(float(s(99)), 1e-3, rtol=1e-6)
+        np.testing.assert_allclose(float(s(100)), 1e-4, rtol=1e-6)
+        np.testing.assert_allclose(float(s(149)), 1e-4, rtol=1e-6)
 
 
 class TestCheckpoint:
