@@ -29,12 +29,21 @@ from jax.experimental.pallas import tpu as pltpu
 from faster_rcnn_tpu.ops.roi_align import roi_align as roi_align_xla
 
 
+_ALIGN = 16  # sublane alignment unit covering both f32 (8) and bf16 (16) tiling
+
+
 def _kernel(rois_ref, feat_ref, out_ref, *, pool: int, width: int):
     """One grid step = one ROI.
 
     rois_ref: scalar-prefetch (R*4,) int32 [x1, y1, x2, y2] per ROI.
-    feat_ref: (H*W, C) feature rows, VMEM-resident across grid steps.
+    feat_ref: (rows_padded, C) feature rows, VMEM-resident across grid steps
+      (rows padded to a multiple of _ALIGN plus one spare block).
     out_ref: (1, P*P, C) this ROI's output block.
+
+    Mosaic cannot issue a vector load at an arbitrary (runtime) sublane
+    offset, so each tap loads the ALIGN-row block containing the target row
+    (provably aligned via pl.multiple_of) and selects the row with an iota
+    mask + cross-sublane sum — all VPU work on VMEM-resident data.
     """
     r = pl.program_id(0)
     x1 = rois_ref[4 * r]
@@ -45,6 +54,13 @@ def _kernel(rois_ref, feat_ref, out_ref, *, pool: int, width: int):
     h = y2 - y1
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
+
+    def tap(row_idx):
+        base = pl.multiple_of((row_idx // _ALIGN) * _ALIGN, _ALIGN)
+        block = feat_ref[pl.ds(base, _ALIGN), :].astype(jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (_ALIGN, 1), 0) + base
+        sel = (rows == row_idx).astype(jnp.float32)
+        return jnp.sum(block * sel, axis=0)  # (C,)
 
     for i in range(pool):
         sy = i * hf / pool
@@ -61,10 +77,10 @@ def _kernel(rois_ref, feat_ref, out_ref, *, pool: int, width: int):
             xa = x1 + x0i
             xb = x1 + jnp.minimum(x0i + 1, w - 1)
 
-            f00 = feat_ref[ya * width + xa, :].astype(jnp.float32)
-            f01 = feat_ref[ya * width + xb, :].astype(jnp.float32)
-            f10 = feat_ref[yb * width + xa, :].astype(jnp.float32)
-            f11 = feat_ref[yb * width + xb, :].astype(jnp.float32)
+            f00 = tap(ya * width + xa)
+            f01 = tap(ya * width + xb)
+            f10 = tap(yb * width + xa)
+            f11 = tap(yb * width + xb)
 
             top = f00 + (f01 - f00) * fx
             bot = f10 + (f11 - f10) * fx
@@ -88,6 +104,11 @@ def _forward(features, rois, pool_size, interpret):
     r = rois.shape[0]
     rois_flat = rois.astype(jnp.int32).reshape(r * 4)
     feat2d = features.reshape(h * w, c)
+    # pad rows so every ALIGN-row tap block is in bounds
+    from faster_rcnn_tpu.ops.roi_align_pallas import _ALIGN  # self, for clarity
+
+    rows_padded = ((h * w + _ALIGN - 1) // _ALIGN + 1) * _ALIGN
+    feat2d = jnp.pad(feat2d, ((0, rows_padded - h * w), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -95,7 +116,7 @@ def _forward(features, rois, pool_size, interpret):
         in_specs=[
             # whole feature map as one VMEM-resident block (constant index map
             # means it is DMA'd once and reused across all R grid steps)
-            pl.BlockSpec((h * w, c), lambda i, rois_s: (0, 0)),
+            pl.BlockSpec((rows_padded, c), lambda i, rois_s: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, pool_size * pool_size, c), lambda i, rois_s: (i, 0, 0)),
     )

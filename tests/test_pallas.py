@@ -1,0 +1,49 @@
+"""Pallas kernel tests (interpreter mode — CPU-safe)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from faster_rcnn_tpu.ops.roi_align import roi_align
+from faster_rcnn_tpu.ops.roi_align_pallas import roi_align_pallas
+
+
+def random_rois(rng, n, h, w):
+    x1 = rng.randint(0, w - 2, n)
+    y1 = rng.randint(0, h - 2, n)
+    bw = rng.randint(1, 12, n)
+    bh = rng.randint(1, 8, n)
+    rois = np.stack(
+        [x1, y1, np.minimum(x1 + bw, w - 1), np.minimum(y1 + bh, h - 1)], axis=1
+    ).astype(np.int32)
+    rois[:, 2] = np.maximum(rois[:, 2], rois[:, 0] + 1)
+    rois[:, 3] = np.maximum(rois[:, 3], rois[:, 1] + 1)
+    return rois
+
+
+class TestRoiAlignPallas:
+    def test_matches_xla_reference(self, rng):
+        feat = rng.standard_normal((20, 28, 16)).astype(np.float32)
+        rois = random_rois(rng, 12, 20, 28)
+        got = roi_align_pallas(jnp.asarray(feat), jnp.asarray(rois), 7, True)
+        want = roi_align(jnp.asarray(feat), jnp.asarray(rois, np.float32), 7)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+    def test_single_pixel_roi(self, rng):
+        feat = rng.standard_normal((16, 16, 8)).astype(np.float32)
+        rois = np.array([[5, 5, 6, 6]], np.int32)
+        got = roi_align_pallas(jnp.asarray(feat), jnp.asarray(rois), 7, True)
+        # 1x1 crop -> every output cell equals the single source pixel
+        np.testing.assert_allclose(
+            np.asarray(got)[0], np.broadcast_to(feat[5, 5], (7, 7, 8)), rtol=1e-5
+        )
+
+    def test_gradient_matches_xla(self, rng):
+        feat = jnp.asarray(rng.standard_normal((16, 16, 4)).astype(np.float32))
+        rois = jnp.asarray(random_rois(rng, 5, 16, 16))
+
+        g1 = jax.grad(lambda x: jnp.sum(roi_align_pallas(x, rois, 7, True) ** 2))(feat)
+        g2 = jax.grad(
+            lambda x: jnp.sum(roi_align(x, rois.astype(jnp.float32), 7) ** 2)
+        )(feat)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
