@@ -21,7 +21,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p, training=True)
     p.add_argument("--step", default="all",
-                   help="1|2|3|4, comma list (e.g. 1,2), or 'all'")
+                   help="1|2|3|4, comma list (e.g. 1,2), 'all', or 'joint' "
+                        "(single-pass approximate-joint training)")
     args = p.parse_args(argv)
 
     cfg = config_from_args(args)
@@ -35,11 +36,12 @@ def main(argv=None):
     )
     print(f"loaded {len(records)} training records")
 
-    steps = (
-        (1, 2, 3, 4)
-        if args.step == "all"
-        else tuple(int(s) for s in str(args.step).split(","))
-    )
+    if args.step == "all":
+        steps = (1, 2, 3, 4)
+    elif args.step == "joint":
+        steps = ("joint",)
+    else:
+        steps = tuple(int(s) for s in str(args.step).split(","))
     results = run_four_step_training(
         cfg, records, class_mapping, args.workdir, steps=steps,
         batch_size=args.batch_size, save_frequency=args.save_frequency,

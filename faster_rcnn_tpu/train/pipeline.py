@@ -260,3 +260,95 @@ def make_det_train_step(
         return TrainState(params, opt_state, state.step + 1), metrics
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Joint (approximate end-to-end) training — TPU-native extension
+# ---------------------------------------------------------------------------
+
+
+def make_joint_train_step(
+    cfg: FasterRcnnConfig,
+    model: FasterRCNN,
+    tx: optax.GradientTransformation,
+    batch_stats,
+):
+    """Single-pass approximate-joint Faster R-CNN training.
+
+    Not present in the reference (which only implements the paper's 4-step
+    alternating scheme) — this is the modern formulation: ONE backbone
+    forward serves both the RPN losses and (via stop-gradient proposals +
+    RoI align on the same feature map) the detector losses, and all four
+    losses are optimized together.  Halves the training-time compute vs.
+    steps 1+2 and removes the inter-step weight handoff entirely.
+
+    Signature: (state, batch, keys) -> (state, metrics).
+    """
+    consts = build_constants(cfg)
+    posv = _position_validity(cfg)
+    pre, post = cfg.rpn.train_pre_nms, cfg.rpn.train_post_nms
+
+    def loss_fn(params, batch, keys):
+        variables = {"params": params, "batch_stats": batch_stats}
+        feat = model.apply(variables, batch["image"], method=FasterRCNN.backbone)
+        cls_logits, bbreg = model.apply(variables, feat, method=FasterRCNN.rpn)
+
+        # RPN losses
+        rpn_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+        l_rcls, l_rreg = jax.vmap(
+            functools.partial(rpn_losses_one_image, cfg, consts)
+        )(rpn_keys, cls_logits, bbreg, batch["gt_boxes"], batch["gt_class"],
+          batch["gt_valid"], batch["img_hw"])
+
+        # proposals from the CURRENT rpn output, boxes detached
+        probs = jax.nn.sigmoid(cls_logits)
+
+        def one(prob_i, reg_i, hw_i):
+            rows = hw_i[0] // cfg.model.stride
+            cols = hw_i[1] // cfg.model.stride
+            return prop_ops.generate_proposals(
+                prob_i, reg_i, consts.anchors_conv, posv(rows, cols), rows, cols,
+                pre_nms=pre, post_nms=post, iou_thresh=cfg.rpn.nms_iou,
+            )
+
+        props = jax.vmap(one)(jax.lax.stop_gradient(probs),
+                              jax.lax.stop_gradient(bbreg), batch["img_hw"])
+
+        det_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        rois64, cls_t, reg_t, pos_m, ok = jax.vmap(
+            functools.partial(det_losses_one_image, cfg)
+        )(det_keys, props.boxes, props.valid, batch["gt_boxes"],
+          batch["gt_class"], batch["gt_valid"])
+
+        pooled = jax.vmap(lambda f, r: roi_align(f, r, cfg.det.pool_size))(feat, rois64)
+        dcls, dreg = model.apply(variables, pooled, method=FasterRCNN.det_head)
+
+        def one_loss(cl, rg, ct, rt, pm, okk):
+            s = okk.astype(jnp.float32)
+            return (
+                loss_ops.det_cls_loss(cl, ct) * s,
+                loss_ops.det_reg_loss(rg, rt, ct, pm, cfg.model.num_classes) * s,
+            )
+
+        l_dcls, l_dreg = jax.vmap(one_loss)(dcls, dreg, cls_t, reg_t, pos_m, ok)
+
+        m = {
+            "rpn_cls": jnp.mean(l_rcls),
+            "rpn_reg": jnp.mean(l_rreg),
+            "det_cls": jnp.mean(l_dcls),
+            "det_reg": jnp.mean(l_dreg),
+            "num_valid_images": jnp.sum(ok.astype(jnp.int32)),
+        }
+        total = m["rpn_cls"] + m["rpn_reg"] + m["det_cls"] + m["det_reg"]
+        return total, m
+
+    def step(state: TrainState, batch, keys):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, keys
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics, loss=loss)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return step

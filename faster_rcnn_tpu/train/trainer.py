@@ -43,7 +43,7 @@ from faster_rcnn_tpu.utils import checkpoint as ckpt_lib
 ALL_BLOCKS = {"vgg16": (1, 2, 3, 4, 5), "resnet50": (1, 2, 3, 4), "resnet101": (1, 2, 3, 4)}
 
 
-def step_freeze_spec(step: int, cfg: FasterRcnnConfig):
+def step_freeze_spec(step, cfg: FasterRcnnConfig):
     """(freeze_blocks, freeze_modules) per training step."""
     net = cfg.model.network
     if step == 1:
@@ -54,6 +54,8 @@ def step_freeze_spec(step: int, cfg: FasterRcnnConfig):
         return ALL_BLOCKS[net], ("det_head", "backbone")
     if step == 4:  # heads only
         return ALL_BLOCKS[net], ("backbone", "rpn_head")
+    if step == "joint":  # approximate-joint: everything trains together
+        return cfg.model.freeze_blocks, ()
     raise ValueError(step)
 
 
@@ -96,7 +98,7 @@ def train_one_step(
       rpn_params: frozen RPN parameter tree for proposal generation
         (required for steps 2/4).
     """
-    is_rpn_step = step in (1, 3)
+    is_rpn_step = step in (1, 3) or step == "joint"
     batch_size = batch_size or cfg.train.batch_size
     save_frequency = save_frequency or cfg.train.save_frequency
 
@@ -130,7 +132,9 @@ def train_one_step(
             cfg_c = cfg.replace(
                 data=dataclasses.replace(cfg.data, canvas_h=canvas[0], canvas_w=canvas[1])
             )
-            if is_rpn_step:
+            if step == "joint":
+                fn = pipeline.make_joint_train_step(cfg_c, model, tx, batch_stats)
+            elif is_rpn_step:
                 fn = pipeline.make_rpn_train_step(cfg_c, model, tx, batch_stats)
             else:
                 fn = pipeline.make_det_train_step(
@@ -141,7 +145,7 @@ def train_one_step(
 
     state = pipeline.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
-    ckpt_dir = os.path.join(workdir, f"step{step}")
+    ckpt_dir = os.path.join(workdir, f"step{step}")  # "stepjoint" for joint mode
     start = ckpt_lib.latest_step(ckpt_dir)
     if start is not None:
         restored = ckpt_lib.restore(ckpt_dir, start, template={"state": state})
@@ -207,7 +211,9 @@ def run_four_step_training(
 
     step1 = step2 = step3 = None
     for s in steps:
-        if s == 1:
+        if s == "joint":
+            r = train_one_step("joint", cfg, records, class_mapping, workdir, **kw)
+        elif s == 1:
             r = train_one_step(1, cfg, records, class_mapping, workdir, **kw)
             step1 = r.params
         elif s == 2:

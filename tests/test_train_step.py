@@ -153,3 +153,31 @@ def test_param_labels_norm_frozen():
     assert flat["backbone/res4a/res4a_branch2a/kernel"] == "train"
     assert flat["det_head/stage5/res5a/res5a_branch2a/kernel"] == "train"
     assert flat["det_head/stage5/res5a/bn5a_branch2a/scale"] == "frozen"
+
+
+class TestJointTrainStep:
+    def test_joint_step_trains_all_heads(self):
+        cfg = tiny_config("vgg16")
+        model, variables = init_model(jax.random.PRNGKey(0), cfg)
+        params = variables["params"]
+        tx = make_optimizer(params, "vgg16", cfg.model.freeze_blocks, 1e-3)
+        state = pipeline.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        step = jax.jit(pipeline.make_joint_train_step(cfg, model, tx, {}))
+        batch = tiny_batch(cfg)
+        losses = []
+        for i in range(5):
+            keys = jax.random.split(jax.random.PRNGKey(i), 2)
+            state, metrics = step(state, batch, keys)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+        assert losses[-1] < losses[0]
+
+        after = flat_params(state.params)
+        before = flat_params(params)
+        # every head trained in one step: backbone block5, rpn head, det head
+        for k in (
+            "backbone/block5_conv3/kernel",
+            "rpn_head/rpn_conv1/kernel",
+            "det_head/fc1/kernel",
+        ):
+            assert not np.array_equal(before[k], after[k]), k
