@@ -43,15 +43,22 @@ def prepare_example(
     cfg: FasterRcnnConfig,
     canvas: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, np.ndarray]:
-    """Decode + preprocess one image into fixed-shape arrays."""
+    """Decode + preprocess one image into fixed-shape arrays.
+
+    Uses the native C++ pipeline (decode+resize+flip+preprocess+pad in one
+    GIL-free call, data/native_loader.py) when available, else PIL."""
+    from faster_rcnn_tpu.data.native_loader import load_canvas_native
+
     ch, cw = canvas or canvas_for(record, cfg)
-    pixels = record.load_pixels()
-    h, w = pixels.shape[:2]
+    h, w = record.height, record.width
     if h > ch or w > cw:
         raise ValueError(f"image {record.name} ({h}x{w}) exceeds canvas ({ch}x{cw})")
 
-    img = np.zeros((ch, cw, 3), np.float32)
-    img[:h, :w] = preprocess_rgb(pixels)
+    img = load_canvas_native(record.image_path, ch, cw, h, w, record.flipped)
+    if img is None:
+        pixels = record.load_pixels()
+        img = np.zeros((ch, cw, 3), np.float32)
+        img[:h, :w] = preprocess_rgb(pixels)
 
     g = cfg.data.max_gt_boxes
     gt_boxes = np.zeros((g, 4), np.float32)

@@ -1,0 +1,180 @@
+// Native host-side image pipeline: JPEG decode + bicubic resize + canvas pad
+// + ImageNet preprocessing, in one pass with no intermediate Python objects.
+//
+// The reference's data path is cv2.imread + cv2.resize(INTER_CUBIC) per
+// access inside the training hot loop (shapes.py:24-29, SURVEY.md §3.1 "DISK
+// + HOST CPU").  Here the whole decode->resize->flip->preprocess->pad chain
+// runs in C++ (libjpeg + hand-rolled Catmull-Rom bicubic, matching
+// INTER_CUBIC's a=-0.5 kernel and center-aligned sampling grid), called from
+// Python worker threads via ctypes — ctypes releases the GIL, so N workers
+// decode truly in parallel while the TPU computes.
+//
+// C ABI only; no pybind11 (not in the image).  Built by
+// faster_rcnn_tpu/data/native_loader.py on first use.
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <csetjmp>
+#include <vector>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct ErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void error_exit(j_common_ptr cinfo) {
+  ErrorMgr* err = reinterpret_cast<ErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode a JPEG file to tightly packed RGB8.  Returns false on failure.
+bool decode_jpeg(const char* path, std::vector<uint8_t>* out, int* w, int* h) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    return false;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  out->resize(static_cast<size_t>(*w) * *h * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data() + static_cast<size_t>(cinfo.output_scanline) * *w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return true;
+}
+
+// Catmull-Rom bicubic weight, a = -0.5 (cv2 INTER_CUBIC kernel).
+inline float cubic_w(float t) {
+  const float a = -0.5f;
+  t = std::fabs(t);
+  if (t <= 1.0f) return ((a + 2.0f) * t - (a + 3.0f)) * t * t + 1.0f;
+  if (t < 2.0f) return (((t - 5.0f) * t + 8.0f) * t - 4.0f) * a;
+  return 0.0f;
+}
+
+inline int clampi(int v, int lo, int hi) { return v < lo ? lo : (v > hi ? hi : v); }
+
+// Center-aligned bicubic resize RGB8 -> RGB float (still 0..255 range).
+void resize_bicubic(const uint8_t* src, int sw, int sh, float* dst, int dw, int dh) {
+  const float sx = static_cast<float>(sw) / dw;
+  const float sy = static_cast<float>(sh) / dh;
+
+  std::vector<int> xi(dw * 4);
+  std::vector<float> xw(dw * 4);
+  for (int x = 0; x < dw; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int x0 = static_cast<int>(std::floor(fx));
+    float frac = fx - x0;
+    for (int k = 0; k < 4; ++k) {
+      xi[x * 4 + k] = clampi(x0 - 1 + k, 0, sw - 1);
+      xw[x * 4 + k] = cubic_w(frac + 1 - k);
+    }
+  }
+
+  for (int y = 0; y < dh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float fr = fy - y0;
+    int yi[4];
+    float yw[4];
+    for (int k = 0; k < 4; ++k) {
+      yi[k] = clampi(y0 - 1 + k, 0, sh - 1);
+      yw[k] = cubic_w(fr + 1 - k);
+    }
+    float* drow = dst + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const int* xis = &xi[x * 4];
+      const float* xws = &xw[x * 4];
+      for (int c = 0; c < 3; ++c) {
+        float acc = 0.0f;
+        for (int ky = 0; ky < 4; ++ky) {
+          const uint8_t* srow = src + (static_cast<size_t>(yi[ky]) * sw) * 3;
+          float rowacc = 0.0f;
+          for (int kx = 0; kx < 4; ++kx) {
+            rowacc += xws[kx] * srow[xis[kx] * 3 + c];
+          }
+          acc += yw[ky] * rowacc;
+        }
+        drow[x * 3 + c] = acc;
+      }
+    }
+  }
+}
+
+const float kMeansBGR[3] = {103.939f, 116.779f, 123.68f};
+
+}  // namespace
+
+extern "C" {
+
+// Decode `path`, bicubic-resize to (target_h, target_w), optionally mirror
+// horizontally, convert RGB->BGR, subtract ImageNet means, and write float32
+// HWC into `out` (canvas_h, canvas_w, 3), zero-padding outside the image.
+// Returns 0 on success.
+int frcnn_load_image(const char* path, float* out, int canvas_h, int canvas_w,
+                     int target_h, int target_w, int flip) {
+  if (target_h > canvas_h || target_w > canvas_w) return 2;
+
+  std::vector<uint8_t> rgb;
+  int sw = 0, sh = 0;
+  if (!decode_jpeg(path, &rgb, &sw, &sh)) return 1;
+
+  std::vector<float> resized(static_cast<size_t>(target_h) * target_w * 3);
+  resize_bicubic(rgb.data(), sw, sh, resized.data(), target_w, target_h);
+
+  memset(out, 0, sizeof(float) * canvas_h * canvas_w * 3);
+  for (int y = 0; y < target_h; ++y) {
+    const float* srow = resized.data() + static_cast<size_t>(y) * target_w * 3;
+    float* drow = out + (static_cast<size_t>(y) * canvas_w) * 3;
+    for (int x = 0; x < target_w; ++x) {
+      int sxp = flip ? (target_w - 1 - x) : x;
+      // RGB source -> BGR output with mean subtraction
+      drow[x * 3 + 0] = srow[sxp * 3 + 2] - kMeansBGR[0];
+      drow[x * 3 + 1] = srow[sxp * 3 + 1] - kMeansBGR[1];
+      drow[x * 3 + 2] = srow[sxp * 3 + 0] - kMeansBGR[2];
+    }
+  }
+  return 0;
+}
+
+// Raw decode only (for probing / tests): writes RGB8 into out (must be
+// preallocated w*h*3; call with out=null to query dims). Returns 0 on
+// success, 1 decode failure, 3 buffer mismatch.
+int frcnn_decode_jpeg(const char* path, uint8_t* out, int* w, int* h) {
+  std::vector<uint8_t> rgb;
+  int sw = 0, sh = 0;
+  if (!decode_jpeg(path, &rgb, &sw, &sh)) return 1;
+  if (out != nullptr) {
+    if (*w != sw || *h != sh) return 3;
+    memcpy(out, rgb.data(), rgb.size());
+  }
+  *w = sw;
+  *h = sh;
+  return 0;
+}
+
+}  // extern "C"

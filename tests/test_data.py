@@ -123,3 +123,47 @@ class TestPipeline:
             canvas, batch = next(it)
             assert batch["image"].shape == (2, canvas[0], canvas[1], 3)
             assert batch["gt_boxes"].shape == (2, cfg.data.max_gt_boxes, 4)
+
+
+class TestNativeLoader:
+    def test_native_matches_pil_at_identity_resize(self, voc_root):
+        from faster_rcnn_tpu.data import native_loader
+        from faster_rcnn_tpu.models.detector import preprocess_rgb
+
+        if not native_loader.available():
+            pytest.skip("native loader unavailable (no g++/libjpeg)")
+        rec = voc.parse_annotation(voc_root, "000001")  # 500x375, no resize
+        got = native_loader.load_canvas_native(
+            rec.image_path, 400, 520, rec.height, rec.width, False
+        )
+        assert got is not None and got.shape == (400, 520, 3)
+        # identity-scale bicubic has weights [0,1,0,0] -> decode+preprocess only;
+        # PIL and the native path share libjpeg, so this is near-exact
+        pixels = rec.load_pixels()
+        want = preprocess_rgb(pixels)
+        np.testing.assert_allclose(got[:375, :500], want, atol=1.0)
+        assert np.all(got[375:] == 0) and np.all(got[:, 500:] == 0)
+
+    def test_native_flip(self, voc_root):
+        from faster_rcnn_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native loader unavailable")
+        rec = voc.parse_annotation(voc_root, "000001")
+        a = native_loader.load_canvas_native(rec.image_path, 375, 500, 375, 500, False)
+        b = native_loader.load_canvas_native(rec.image_path, 375, 500, 375, 500, True)
+        np.testing.assert_allclose(a, b[:, ::-1], atol=1e-4)
+
+    def test_native_resize_smoke(self, voc_root):
+        from faster_rcnn_tpu.data import native_loader
+
+        if not native_loader.available():
+            pytest.skip("native loader unavailable")
+        rec = voc.parse_annotation(voc_root, "000001")
+        out = native_loader.load_canvas_native(rec.image_path, 256, 320, 192, 256, False)
+        assert out is not None
+        region = out[:192, :256]
+        assert np.isfinite(region).all()
+        # preprocessed values live in roughly [-MEAN, 255-MEAN] plus bicubic
+        # overshoot (Catmull-Rom can exceed the input range on noise images)
+        assert region.min() >= -180 and region.max() <= 220
