@@ -187,6 +187,13 @@ def train_one_step(
             m = {k: float(v) for k, v in metrics.items()}
             rate = (i + 1 - start_iter) * batch_size / (time.time() - t0)
             print(f"[step {step}] iter {i+1}/{total} {m} ({rate:.2f} img/s)")
+            # structured metrics stream (replaces the reference's raw prints,
+            # SURVEY.md §5.5) — one JSON line per log point
+            os.makedirs(ckpt_dir, exist_ok=True)
+            with open(os.path.join(ckpt_dir, "metrics.jsonl"), "a") as f:
+                import json
+
+                f.write(json.dumps({"iter": i + 1, "img_per_sec": round(rate, 2), **m}) + "\n")
         if (i + 1) % save_frequency == 0 or (i + 1) == total:
             ckpt_lib.save(ckpt_dir, i + 1, {"state": state}, wait=(i + 1 == total))
 
