@@ -133,20 +133,27 @@ def _self_suppress_fixpoint(iou_gt: jax.Array, keep0: jax.Array) -> jax.Array:
     return keep
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "iou_thresh"))
-def _blocked_keep_mask(boxes, iou_thresh: float, tile: int):
+@functools.partial(jax.jit, static_argnames=("tile", "iou_thresh", "enough"))
+def _blocked_keep_mask(boxes, iou_thresh: float, tile: int, enough: int = 0):
     """Keep-mask of exact greedy NMS over *score-sorted* boxes.
 
     One serial phase per tile (N/T phases): tile i is first suppressed by all
     earlier survivors in a single (N, T) vectorized IoU sweep, then resolved
     internally by fixpoint iteration.  All heavy work is VPU-friendly
     broadcasting; the serial depth is N/T instead of N.
+
+    ``enough > 0`` stops the sweep once that many survivors exist.  This is
+    exact for a top-``enough`` consumer: suppression only flows from earlier
+    (higher-scored) to later boxes, so the first ``enough`` keeps can never
+    change once found — the tail is conservatively reported as kept and must
+    be truncated by the caller (nms_topk does).
     """
     n = boxes.shape[0]
     num_tiles = n // tile
     idx = jnp.arange(n)
 
-    def phase(i, keep):
+    def phase_body(state):
+        i, keep, kept_count = state
         a = jax.lax.dynamic_slice(boxes, (i * tile, 0), (tile, 4))
         keep_a = jax.lax.dynamic_slice(keep, (i * tile,), (tile,))
 
@@ -160,9 +167,20 @@ def _blocked_keep_mask(boxes, iou_thresh: float, tile: int):
         iou_aa = _pairwise_iou_p1(a, a) > iou_thresh
         # orient as [k, j]: row k suppressed by col j (j earlier in tile)
         keep_a = _self_suppress_fixpoint(iou_aa.T, keep_a)
-        return jax.lax.dynamic_update_slice(keep, keep_a, (i * tile,))
+        keep = jax.lax.dynamic_update_slice(keep, keep_a, (i * tile,))
+        return i + 1, keep, kept_count + jnp.sum(keep_a)
 
-    return jax.lax.fori_loop(0, num_tiles, phase, jnp.ones((n,), bool))
+    def phase_cond(state):
+        i, _, kept_count = state
+        go = i < num_tiles
+        if enough > 0:
+            go = go & (kept_count < enough)
+        return go
+
+    _, keep, _ = jax.lax.while_loop(
+        phase_cond, phase_body, (0, jnp.ones((n,), bool), jnp.array(0, jnp.int32))
+    )
+    return keep
 
 
 def nms_sorted_mask_blocked(
@@ -170,12 +188,16 @@ def nms_sorted_mask_blocked(
     valid: jax.Array,
     iou_thresh: float,
     tile: int = 256,
+    enough: int = 0,
 ) -> jax.Array:
     """Keep-mask for boxes that are ALREADY sorted by descending score.
 
     Invalid (padding) rows must be sorted to the end (they are, since padding
     scores are -inf).  Padding rows are given a far-away degenerate box so they
     never suppress anything, and are masked out of the result.
+
+    ``enough``: early-exit survivor budget (see _blocked_keep_mask) — only
+    the first ``enough`` kept entries are meaningful when set.
     """
     n = boxes.shape[0]
     if n % tile != 0:
@@ -184,7 +206,7 @@ def nms_sorted_mask_blocked(
     # Send padded rows to isolated corners so their IoU vs anything real is 0.
     far = jnp.float32(-1e8)
     boxes = jnp.where(valid[:, None], boxes, jnp.array([far, far, far, far]))
-    keep = _blocked_keep_mask(boxes, float(iou_thresh), tile)
+    keep = _blocked_keep_mask(boxes, float(iou_thresh), tile, enough)
     return keep & valid
 
 
@@ -248,7 +270,7 @@ def nms_topk(
         scores_s = jnp.pad(scores_s, (0, pad), constant_values=NEG_INF)
         valid_s = jnp.pad(valid_s, (0, pad))
 
-    keep = nms_sorted_mask_blocked(boxes_s, valid_s, iou_thresh, tile=tile)
+    keep = nms_sorted_mask_blocked(boxes_s, valid_s, iou_thresh, tile=tile, enough=max_out)
 
     # Stable-compact survivors to the front, preserving score order.
     rank = jnp.cumsum(keep) - 1                      # output slot per survivor
