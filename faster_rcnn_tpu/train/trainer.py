@@ -165,7 +165,8 @@ def train_one_step(
     the_mesh = mesh_lib.create_mesh(devices=avail[:n_data]) if use_mesh else None
     loader = TrainLoader(records, class_mapping, cfg, batch_size, seed=seed)
     it = iter(loader)
-    key = jax.random.PRNGKey(seed + 1000 * step)
+    step_id = step if isinstance(step, int) else 5  # "joint"
+    key = jax.random.PRNGKey(seed + 1000 * step_id)
 
     metrics = {}
     t0 = time.time()
