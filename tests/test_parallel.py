@@ -65,3 +65,53 @@ def test_dp_rpn_train_step_on_8_devices():
     a = flat_params(new_state.params)["backbone/block5_conv3/kernel"]
     b = flat_params(ref_state.params)["backbone/block5_conv3/kernel"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+def test_tensor_parallel_det_step_matches_replicated():
+    """2D mesh (data=4, model=2): VGG fc layers column/row-parallel via
+    NamedSharding; the sharded update must match the replicated one."""
+    cfg = tiny_config("vgg16")
+    model, variables = init_model(jax.random.PRNGKey(0), cfg)
+    params = variables["params"]
+    tx = make_optimizer(params, "vgg16", (1, 2), 1e-3, freeze_modules=("rpn_head",))
+    step = jax.jit(pipeline.make_det_train_step(cfg, model, tx, {}, heads_only=False))
+
+    batch_np = {k: np.asarray(v) for k, v in tiny_batch(cfg, b=4).items()}
+    keys_np = np.asarray(jax.random.split(jax.random.PRNGKey(0), 4))
+
+    # replicated baseline
+    state0 = pipeline.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    rpn_vs = {"params": params, "batch_stats": {}}
+    ref_state, ref_metrics = step(
+        state0,
+        {k: jnp.asarray(v) for k, v in batch_np.items()},
+        jnp.asarray(keys_np),
+        rpn_vs,
+    )
+
+    # dp=4 x tp=2
+    from faster_rcnn_tpu.parallel.sharding import param_shardings, shard_params
+
+    m = mesh_lib.create_mesh(data=4, model=2)
+    sh_params = shard_params(params, m)
+    # verify fc1 kernel is really split over 'model'
+    fc1 = sh_params["det_head"]["fc1"]["kernel"]
+    assert fc1.sharding.spec == jax.sharding.PartitionSpec(None, "model")
+    assert len(fc1.addressable_shards) == 8  # 4 data replicas x 2 model shards
+
+    state_tp = pipeline.TrainState(
+        sh_params, tx.init(sh_params), jnp.zeros((), jnp.int32)
+    )
+    batch_tp = mesh_lib.shard_batch(m, batch_np)
+    keys_tp = jax.device_put(
+        jnp.asarray(keys_np), jax.sharding.NamedSharding(m, jax.sharding.PartitionSpec("data"))
+    )
+    rpn_tp = {"params": sh_params, "batch_stats": {}}
+    tp_state, tp_metrics = step(state_tp, batch_tp, keys_tp, rpn_tp)
+
+    np.testing.assert_allclose(
+        float(tp_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    a = flat_params(tp_state.params)["det_head/fc1/kernel"]
+    b = flat_params(ref_state.params)["det_head/fc1/kernel"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
