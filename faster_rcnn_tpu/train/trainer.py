@@ -168,21 +168,29 @@ def train_one_step(
     step_id = step if isinstance(step, int) else 5  # "joint"
     key = jax.random.PRNGKey(seed + 1000 * step_id)
 
+    def put(batch):
+        if the_mesh is not None:
+            return mesh_lib.shard_batch(the_mesh, batch)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
     metrics = {}
     t0 = time.time()
+    # one-batch transfer lookahead: the H2D of batch i+1 is enqueued right
+    # after step i is dispatched, so it rides the async queue under compute
+    canvas, host_batch = next(it)
+    pending = (canvas, put(host_batch))
     for i in range(start_iter, total):
-        canvas, batch = next(it)
+        canvas, batch = pending
         key, sub = jax.random.split(key)
         keys = jax.random.split(sub, batch_size)
         if the_mesh is not None:
-            batch = mesh_lib.shard_batch(the_mesh, batch)
             keys = jax.device_put(keys, mesh_lib.batch_sharding(the_mesh))
-        else:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if is_rpn_step:
             state, metrics = step_fn_for(canvas)(state, batch, keys)
         else:
             state, metrics = step_fn_for(canvas)(state, batch, keys, rpn_vs)
+        nxt_canvas, nxt_host = next(it)
+        pending = (nxt_canvas, put(nxt_host))
 
         if (i + 1) % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
