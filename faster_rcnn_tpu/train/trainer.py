@@ -105,6 +105,9 @@ def train_one_step(
     model, variables = init_model(jax.random.PRNGKey(seed), cfg)
     batch_stats = variables.get("batch_stats", {})
     params = init_params if init_params is not None else variables["params"]
+    # the step fn donates its state buffers; copy so callers' trees (shared
+    # across the 4-step handoff) survive this step's training
+    params = jax.tree_util.tree_map(jnp.array, params)
 
     lr = schedule_from_phases(cfg.train.phases)
     freeze_blocks, freeze_modules = step_freeze_spec(step, cfg)

@@ -73,3 +73,42 @@ def test_steps_1_2_with_handoff_and_resume(tiny_voc, tmp_path):
     w_ck = restored["state"]["params"]["backbone"]["block5_conv3"]["kernel"]
     w_rs = np.asarray(r1b.params["backbone"]["block5_conv3"]["kernel"])
     np.testing.assert_array_equal(w_ck, w_rs)
+
+
+@pytest.mark.slow
+def test_steps_3_4_handoff(tiny_voc, tmp_path):
+    """Steps 3 (frozen-backbone RPN) and 4 (heads-only detector) with the
+    full weight handoff chain from steps 1-2."""
+    cfg = cfg_for_tiny_voc()
+    records, _ = load_dataset(
+        [tiny_voc], "trainval", flip=False,
+        resize_min=cfg.data.resize_min, resize_max=cfg.data.resize_max,
+    )
+    workdir = str(tmp_path / "work34")
+
+    results = run_four_step_training(
+        cfg, records, VOC_CLASS_MAPPING, workdir,
+        steps=(1, 2, 3, 4), batch_size=2, save_frequency=4, seed=0,
+    )
+    assert set(results) == {1, 2, 3, 4}
+
+    # step 3: backbone must equal step 2's backbone (frozen, transplanted)
+    import jax.tree_util as jtu
+
+    def leaf_equal(a, b):
+        return np.array_equal(np.asarray(a), np.asarray(b))
+
+    bb2 = results[2].params["backbone"]
+    bb3 = results[3].params["backbone"]
+    assert all(jtu.tree_leaves(jtu.tree_map(leaf_equal, bb2, bb3)))
+    # step 3 trained its rpn head (vs fresh init in step 1's graph lineage)
+    # step 4: backbone+rpn frozen at step-3 values, det head trained
+    bb4 = results[4].params["backbone"]
+    assert all(jtu.tree_leaves(jtu.tree_map(leaf_equal, bb3, bb4)))
+    rpn3 = results[3].params["rpn_head"]
+    rpn4 = results[4].params["rpn_head"]
+    assert all(jtu.tree_leaves(jtu.tree_map(leaf_equal, rpn3, rpn4)))
+    # det head differs from step 2's (retrained from fresh init on frozen feats)
+    d2 = np.asarray(results[2].params["det_head"]["fc1"]["kernel"])
+    d4 = np.asarray(results[4].params["det_head"]["fc1"]["kernel"])
+    assert not np.array_equal(d2, d4)
