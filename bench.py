@@ -31,8 +31,8 @@ def main():
     from faster_rcnn_tpu.inference import make_detect_fn
     from faster_rcnn_tpu.models.detector import init_model
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 15
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     cfg = kitti_config()
     model, variables = init_model(jax.random.PRNGKey(0), cfg)
