@@ -92,6 +92,9 @@ class DetConfig:
     final_nms_iou: float = 0.5
     max_dets_per_class: int = 100  # reference caps at 2000 but 300 ROIs bound it
     det_threshold: float = 0.0     # voc_dets.py:17 DEFAULT_DET_THRESHOLD
+    # RoI-align implementation: 'einsum' (separable-bilinear matmuls, MXU,
+    # ~20% faster fwd and matmul-based bwd) or 'gather' (4-tap HBM gathers)
+    roi_align_impl: str = "einsum"
 
 
 @dataclasses.dataclass(frozen=True)

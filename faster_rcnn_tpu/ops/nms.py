@@ -238,6 +238,57 @@ def sort_by_score(
     return boxes_s, scores_s, scores_s > NEG_INF / 2
 
 
+def nms_topk_indices(
+    boxes: jax.Array,
+    scores: jax.Array,
+    valid: jax.Array,
+    max_out: int,
+    iou_thresh: float,
+    tile: int = 128,
+) -> tuple[jax.Array, jax.Array]:
+    """Blocked greedy NMS returning ORIGINAL indices in selection order.
+
+    Same contract as :func:`nms_indices` (score-descending selection,
+    (indices, out_valid)) but using the blocked kernel — preferable when
+    max_out is large enough that the sequential loop's serial depth hurts
+    (e.g. the 300-detection final per-class NMS).  The source index rides the
+    variadic sort as an extra payload column.
+    """
+    n = boxes.shape[0]
+    s = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
+    src = jnp.arange(n, dtype=jnp.int32)
+    if jax.default_backend() == "tpu":
+        ops = jax.lax.sort(
+            (-s, boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3], src), num_keys=1
+        )
+        scores_s = -ops[0]
+        boxes_s = jnp.stack(ops[1:5], axis=1)
+        src_s = ops[5]
+    else:
+        order = jnp.argsort(-s)
+        scores_s = s[order]
+        boxes_s = boxes[order]
+        src_s = src[order]
+    valid_s = scores_s > NEG_INF / 2
+
+    pad = (-n) % tile
+    if pad:
+        boxes_s = jnp.pad(boxes_s, ((0, pad), (0, 0)))
+        valid_s = jnp.pad(valid_s, (0, pad))
+        src_s = jnp.pad(src_s, (0, pad))
+
+    keep = nms_sorted_mask_blocked(boxes_s, valid_s, iou_thresh, tile=tile, enough=max_out)
+
+    m = boxes_s.shape[0]
+    rank = jnp.cumsum(keep) - 1
+    slot = jnp.where(keep, rank, m - 1)
+    perm = jnp.zeros((m,), jnp.int32)
+    perm = perm.at[slot].set(jnp.where(keep, jnp.arange(m, dtype=jnp.int32), 0), mode="drop")
+    out_valid = jnp.arange(max_out) < jnp.sum(keep)
+    idx = jnp.where(out_valid, src_s[perm[:max_out]], 0).astype(jnp.int32)
+    return idx, out_valid
+
+
 def nms_topk(
     boxes: jax.Array,
     scores: jax.Array,

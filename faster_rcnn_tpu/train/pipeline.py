@@ -39,7 +39,7 @@ from faster_rcnn_tpu.ops import anchors as anchor_ops
 from faster_rcnn_tpu.ops import losses as loss_ops
 from faster_rcnn_tpu.ops import proposals as prop_ops
 from faster_rcnn_tpu.ops import targets as tgt_ops
-from faster_rcnn_tpu.ops.roi_align import roi_align
+from faster_rcnn_tpu.ops.roi_align import roi_align_batched
 from faster_rcnn_tpu.ops.sampling import sample_det_rois
 
 
@@ -227,8 +227,8 @@ def make_det_train_step(
         else:
             pooled_src = model.apply(variables, batch["image"], method=FasterRCNN.backbone)
 
-        pooled = jax.vmap(lambda f, r: roi_align(f, r, cfg.det.pool_size))(
-            pooled_src, rois64
+        pooled = roi_align_batched(
+            pooled_src, rois64, cfg.det.pool_size, impl=cfg.det.roi_align_impl
         )
         cls_logits, reg_out = model.apply(variables, pooled, method=FasterRCNN.det_head)
 
@@ -320,7 +320,7 @@ def make_joint_train_step(
         )(det_keys, props.boxes, props.valid, batch["gt_boxes"],
           batch["gt_class"], batch["gt_valid"])
 
-        pooled = jax.vmap(lambda f, r: roi_align(f, r, cfg.det.pool_size))(feat, rois64)
+        pooled = roi_align_batched(feat, rois64, cfg.det.pool_size, impl=cfg.det.roi_align_impl)
         dcls, dreg = model.apply(variables, pooled, method=FasterRCNN.det_head)
 
         def one_loss(cl, rg, ct, rt, pm, okk):

@@ -199,3 +199,44 @@ class TestRoiAlign:
         g = jax.grad(f)(feat)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+class TestNmsTopkIndices:
+    def test_matches_sequential(self, rng):
+        n = 300
+        boxes = random_boxes(rng, n, hi=200).astype(np.float32)
+        probs = rng.uniform(size=n).astype(np.float32)
+        valid = np.ones(n, bool)
+        valid[280:] = False
+        idx_a, ok_a = nms_ops.nms_indices(
+            jnp.asarray(boxes), jnp.asarray(probs), jnp.asarray(valid), 100, 0.5
+        )
+        idx_b, ok_b = nms_ops.nms_topk_indices(
+            jnp.asarray(boxes), jnp.asarray(probs), jnp.asarray(valid), 100, 0.5, tile=64
+        )
+        a = np.asarray(idx_a)[np.asarray(ok_a)]
+        b = np.asarray(idx_b)[np.asarray(ok_b)]
+        np.testing.assert_array_equal(a, b)
+
+
+class TestRoiAlignEinsum:
+    def test_matches_gather_impl(self, rng):
+        from faster_rcnn_tpu.ops.roi_align import roi_align_einsum
+
+        feat = rng.standard_normal((24, 32, 5)).astype(np.float32)
+        rois = np.array(
+            [[3, 4, 17, 20], [0, 0, 7, 7], [10, 5, 11, 6], [25, 17, 32, 24], [0, 0, 32, 24]],
+            np.float32,
+        )
+        a = roi_ops.roi_align(jnp.asarray(feat), jnp.asarray(rois), 7)
+        b = roi_align_einsum(jnp.asarray(feat), jnp.asarray(rois), 7)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    def test_gradient_flows(self, rng):
+        from faster_rcnn_tpu.ops.roi_align import roi_align_einsum
+
+        feat = jnp.asarray(rng.standard_normal((16, 16, 2)).astype(np.float32))
+        rois = jnp.array([[2.0, 2.0, 9.0, 9.0]])
+        g1 = jax.grad(lambda x: jnp.sum(roi_align_einsum(x, rois, 7) ** 2))(feat)
+        g2 = jax.grad(lambda x: jnp.sum(roi_ops.roi_align(x, rois, 7) ** 2))(feat)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
