@@ -40,7 +40,7 @@ def main(argv=None):
     p.add_argument("--input_dir", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--workdir", default="./workdir")
-    p.add_argument("--from_step", type=int, default=4)
+    p.add_argument("--from_step", default="4")
     p.add_argument("--det_threshold", type=float, default=0.5)
     args = p.parse_args(argv)
 

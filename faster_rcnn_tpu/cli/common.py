@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import List, Tuple
+from typing import Tuple
 
 from faster_rcnn_tpu.config import FasterRcnnConfig, voc_config
 from faster_rcnn_tpu.data.voc import KITTI_CLASS_MAPPING, VOC_CLASS_MAPPING

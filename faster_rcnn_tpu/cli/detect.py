@@ -28,7 +28,7 @@ def main(argv=None):
     add_common_args(p, training=False)
     p.add_argument("--workdir", default="./workdir",
                    help="training workdir with step3/step4 checkpoints")
-    p.add_argument("--from_step", type=int, default=4,
+    p.add_argument("--from_step", default="4",
                    help="checkpoint step to load the detector head from")
     p.add_argument("--out_dir", default="./dets")
     p.add_argument("--batch_size", type=int, default=8)

@@ -12,7 +12,7 @@ classes instead of re-parsed per class (eval_dets.py:43-47 quirk).
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

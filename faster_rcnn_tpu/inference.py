@@ -20,7 +20,7 @@ equivalent to per-class greedy NMS, one kernel instead of C.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, NamedTuple, Tuple
+from typing import Dict, List, NamedTuple
 
 import jax
 import jax.numpy as jnp

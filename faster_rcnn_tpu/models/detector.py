@@ -12,8 +12,6 @@ Backbone/head selection mirrors the reference factories: vgg.py:91-141 +
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np

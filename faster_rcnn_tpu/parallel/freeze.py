@@ -24,7 +24,7 @@ BN/Scale params.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 import optax

@@ -26,11 +26,10 @@ Batch layout (all static shapes; B shards over the 'data' mesh axis):
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from faster_rcnn_tpu.config import FasterRcnnConfig

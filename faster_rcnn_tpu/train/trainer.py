@@ -28,12 +28,11 @@ from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from faster_rcnn_tpu.config import FasterRcnnConfig
 from faster_rcnn_tpu.data.pipeline import TrainLoader
 from faster_rcnn_tpu.data.voc import ImageRecord
-from faster_rcnn_tpu.models.detector import FasterRCNN, init_model
+from faster_rcnn_tpu.models.detector import init_model
 from faster_rcnn_tpu.parallel import mesh as mesh_lib
 from faster_rcnn_tpu.parallel.freeze import make_optimizer
 from faster_rcnn_tpu.train import pipeline

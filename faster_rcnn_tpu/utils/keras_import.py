@@ -26,7 +26,7 @@ match are skipped (exactly Keras's silent-skip semantics).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
