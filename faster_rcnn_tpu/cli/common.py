@@ -46,6 +46,8 @@ def add_common_args(p: argparse.ArgumentParser, training: bool = True) -> None:
         p.add_argument("--save_frequency", type=int, default=2000)
         p.add_argument("--workdir", default="./workdir")
         p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--clip_grad_norm", type=float, default=0.0,
+                       help="global-norm gradient clip (0=off; ~10 for joint)")
         p.add_argument("--flip", action="store_true", default=True)
         p.add_argument("--no-flip", dest="flip", action="store_false")
 
@@ -78,6 +80,7 @@ def config_from_args(args) -> FasterRcnnConfig:
                 batch_size=args.batch_size,
                 save_frequency=args.save_frequency,
                 seed=args.seed,
+                clip_grad_norm=args.clip_grad_norm,
             )
         )
     return cfg

@@ -149,6 +149,9 @@ class TrainConfig:
     batch_size: int = 1            # global batch; reference hardcodes 1
     save_frequency: int = 2000     # train_util.py:58
     seed: int = 0
+    # global-norm gradient clipping (0 = off, reference behavior); recommended
+    # ~10.0 for joint / from-scratch training
+    clip_grad_norm: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

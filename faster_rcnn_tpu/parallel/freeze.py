@@ -75,8 +75,14 @@ def make_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 0.0,
     freeze_modules: Sequence[str] = (),
+    clip_grad_norm: float = 0.0,
 ) -> optax.GradientTransformation:
-    """SGD(momentum 0.9) or Adam (args_util.py:48-59) with freezing + l2."""
+    """SGD(momentum 0.9) or Adam (args_util.py:48-59) with freezing + l2.
+
+    ``clip_grad_norm > 0`` adds global-norm gradient clipping — not present in
+    the reference (single-image batches rarely blew up) but necessary headroom
+    for large-batch / from-scratch joint training.
+    """
     labels = param_labels(params, network, freeze_blocks, freeze_modules)
 
     if optimizer == "sgd":
@@ -85,6 +91,8 @@ def make_optimizer(
         inner = optax.adam(learning_rate)
     else:
         raise ValueError(f"unknown optimizer {optimizer}")
+    if clip_grad_norm:
+        inner = optax.chain(optax.clip_by_global_norm(clip_grad_norm), inner)
 
     chain = []
     if weight_decay:

@@ -119,6 +119,7 @@ def train_one_step(
         momentum=cfg.train.momentum,
         weight_decay=cfg.model.weight_decay,
         freeze_modules=freeze_modules,
+        clip_grad_norm=cfg.train.clip_grad_norm,
     )
 
     step_fns: Dict = {}
