@@ -176,6 +176,25 @@ def train_one_step(
             return mesh_lib.shard_batch(the_mesh, batch)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
+    # Preemption safety: on SIGTERM/SIGINT checkpoint the current state before
+    # exiting so auto-resume continues from here (the reference loses up to
+    # 2,000 iterations on preemption, SURVEY.md §5.3).
+    import signal
+
+    current = {"state": state, "iter": start_iter}
+    prev_handlers = {}
+
+    def _save_and_exit(signum, frame):
+        print(f"[step {step}] signal {signum}: checkpointing at iter {current['iter']}")
+        ckpt_lib.save(ckpt_dir, current["iter"], {"state": current["state"]}, wait=True)
+        raise SystemExit(128 + signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _save_and_exit)
+        except ValueError:  # non-main thread
+            pass
+
     metrics = {}
     t0 = time.time()
     # one-batch transfer lookahead: the H2D of batch i+1 is enqueued right
@@ -192,6 +211,7 @@ def train_one_step(
             state, metrics = step_fn_for(canvas)(state, batch, keys)
         else:
             state, metrics = step_fn_for(canvas)(state, batch, keys, rpn_vs)
+        current["state"], current["iter"] = state, i + 1
         nxt_canvas, nxt_host = next(it)
         pending = (nxt_canvas, put(nxt_host))
 
@@ -209,6 +229,8 @@ def train_one_step(
         if (i + 1) % save_frequency == 0 or (i + 1) == total:
             ckpt_lib.save(ckpt_dir, i + 1, {"state": state}, wait=(i + 1 == total))
 
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     return TrainResult(
         params=state.params, batch_stats=batch_stats,
         final_metrics={k: float(v) for k, v in metrics.items()},
