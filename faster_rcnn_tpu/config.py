@@ -68,6 +68,8 @@ class RpnConfig:
     infer_pre_nms: int = 8000
     infer_post_nms: int = 300
     nms_iou: float = 0.7
+    # blocked-NMS tile: larger = fewer serial phases but more work per phase
+    nms_tile: int = 256
 
     # Loss normalizers (loss_functions.py:8-11)
     n_cls: float = 256.0

@@ -154,6 +154,7 @@ def rpn_forward_proposals(cfg, model, rpn_variables, images, img_hw, pre_nms, po
             pre_nms=pre_nms,
             post_nms=post_nms,
             iou_thresh=cfg.rpn.nms_iou,
+            nms_tile=cfg.rpn.nms_tile,
         )
 
     props = jax.vmap(one)(probs, bbreg, img_hw)
@@ -308,6 +309,7 @@ def make_joint_train_step(
             return prop_ops.generate_proposals(
                 prob_i, reg_i, consts.anchors_conv, posv(rows, cols), rows, cols,
                 pre_nms=pre, post_nms=post, iou_thresh=cfg.rpn.nms_iou,
+                nms_tile=cfg.rpn.nms_tile,
             )
 
         props = jax.vmap(one)(jax.lax.stop_gradient(probs),
