@@ -283,7 +283,8 @@ def run_four_step_training(
     return results
 
 
-def _load_step_params(workdir: str, step: int, template_params):
-    state_t = pipeline.TrainState(template_params, None, jnp.zeros((), jnp.int32))
+def _load_step_params(workdir: str, step, template_params=None):
+    """Load a step's latest checkpointed params (handoff / CLI loading)."""
+    del template_params  # orbax restores raw trees without one
     restored = ckpt_lib.restore(os.path.join(workdir, f"step{step}"))
     return restored["state"]["params"] if isinstance(restored, dict) else restored.params
