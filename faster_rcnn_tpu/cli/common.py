@@ -48,6 +48,9 @@ def add_common_args(p: argparse.ArgumentParser, training: bool = True) -> None:
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--clip_grad_norm", type=float, default=0.0,
                        help="global-norm gradient clip (0=off; ~10 for joint)")
+        p.add_argument("--freeze_blocks", default=None,
+                       help="comma list of backbone blocks to freeze "
+                            "(default: per-network preset; 'none' to train all)")
         p.add_argument("--flip", action="store_true", default=True)
         p.add_argument("--no-flip", dest="flip", action="store_false")
 
@@ -58,6 +61,10 @@ def _round_up(x: int, m: int = 32) -> int:
 
 def config_from_args(args) -> FasterRcnnConfig:
     cfg = voc_config(args.network)
+    fb = getattr(args, "freeze_blocks", None)
+    if fb is not None:
+        blocks = () if fb == "none" else tuple(int(b) for b in fb.split(","))
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, freeze_blocks=blocks))
     mn, mx = resize_dims_from_str(args.resize_dims)
     num_classes = len(KITTI_CLASS_MAPPING) if args.kitti else len(VOC_CLASS_MAPPING)
     cfg = cfg.replace(
