@@ -115,3 +115,29 @@ def test_tensor_parallel_det_step_matches_replicated():
     a = flat_params(tp_state.params)["det_head/fc1/kernel"]
     b = flat_params(ref_state.params)["det_head/fc1/kernel"]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+def test_multichip_detect_matches_single_device():
+    """Detection served over an 8-device data-parallel mesh must equal the
+    single-device result (weights replicated, batch sharded)."""
+    from faster_rcnn_tpu.inference import make_detect_fn
+
+    cfg = tiny_config("vgg16")
+    model, variables = init_model(jax.random.PRNGKey(0), cfg)
+    batch = tiny_batch(cfg, b=8)
+    images = np.asarray(batch["image"])
+    hw = np.asarray(batch["img_hw"])
+
+    single = make_detect_fn(cfg, model, variables)
+    ref = single(jnp.asarray(images), jnp.asarray(hw))
+
+    m = mesh_lib.create_mesh()
+    sharded = make_detect_fn(cfg, model, variables, mesh=m)
+    got = sharded(images, hw)
+    assert len(got.boxes.sharding.device_set) == 8
+
+    np.testing.assert_array_equal(np.asarray(ref.valid), np.asarray(got.valid))
+    np.testing.assert_array_equal(np.asarray(ref.classes), np.asarray(got.classes))
+    np.testing.assert_allclose(
+        np.asarray(ref.boxes), np.asarray(got.boxes), rtol=1e-5, atol=1e-4
+    )
