@@ -47,3 +47,40 @@ class TestRoiAlignPallas:
             lambda x: jnp.sum(roi_align(x, rois.astype(jnp.float32), 7) ** 2)
         )(feat)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-4, atol=1e-4)
+
+
+class TestNmsPallas:
+    def test_matches_xla_blocked(self, rng):
+        from faster_rcnn_tpu.ops.nms import nms_sorted_mask_blocked, sort_by_score
+        from faster_rcnn_tpu.ops.nms_pallas import nms_keep_mask_pallas
+
+        n = 256
+        x1 = rng.uniform(0, 180, n).astype(np.float32)
+        y1 = rng.uniform(0, 180, n).astype(np.float32)
+        w = rng.uniform(1, 100, n).astype(np.float32)
+        h = rng.uniform(1, 100, n).astype(np.float32)
+        boxes = np.stack([x1, y1, x1 + w, y1 + h], 1)
+        scores = rng.uniform(size=n).astype(np.float32)
+        valid = np.ones(n, bool)
+        valid[240:] = False
+
+        bs, _, vs = sort_by_score(jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid))
+        want = np.asarray(nms_sorted_mask_blocked(bs, vs, 0.6, tile=64))
+        got = np.asarray(nms_keep_mask_pallas(bs, vs, 0.6, tile=64, interpret=True))
+        np.testing.assert_array_equal(want, got)
+
+    def test_early_exit_prefix_exact(self, rng):
+        from faster_rcnn_tpu.ops.nms import nms_sorted_mask_blocked, sort_by_score
+        from faster_rcnn_tpu.ops.nms_pallas import nms_keep_mask_pallas
+
+        n = 256
+        boxes = np.stack([
+            rng.uniform(0, 150, n), rng.uniform(0, 150, n),
+            rng.uniform(160, 250, n), rng.uniform(160, 250, n)], 1).astype(np.float32)
+        scores = rng.uniform(size=n).astype(np.float32)
+        bs, _, vs = sort_by_score(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool))
+        want = np.where(np.asarray(nms_sorted_mask_blocked(bs, vs, 0.5, tile=64)))[0]
+        got = np.where(np.asarray(
+            nms_keep_mask_pallas(bs, vs, 0.5, tile=64, enough=5, interpret=True)))[0]
+        k = min(5, len(want))
+        np.testing.assert_array_equal(want[:k], got[:k])
