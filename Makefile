@@ -5,8 +5,9 @@ PY ?= python
 
 .PHONY: test test-fast lint bench native clean
 
+# Retries once on the known XLA:CPU oversubscription abort (see the script).
 test:
-	$(PY) -m pytest tests/ -x -q
+	PY=$(PY) bash scripts/run_tests.sh
 
 test-fast:
 	$(PY) -m pytest tests/ -x -q -k "not Trainer and not e2e"

@@ -1,14 +1,25 @@
-"""Benchmark: ResNet-50 Faster R-CNN inference throughput on TPU.
+"""Benchmark: ResNet-50 Faster R-CNN throughput on TPU (inference + training).
 
-Measures the fused detection program (backbone -> RPN -> proposal NMS ->
+Inference: the fused detection program (backbone -> RPN -> proposal NMS ->
 RoI-align 300 ROIs -> detector head -> per-class NMS) at the reference's KITTI
 configuration: 600x1500 resize (BASELINE.md), 300 ROIs, ResNet-50.
+Training: the fused joint train step (fwd + RPN/det targets + NMS + sampling +
+bwd + optimizer update) at the VOC canvas.
 
-Reference baseline: 0.6 s/image single GPU => 1.667 img/s (BASELINE.md,
-notes:293).  North star: >= 20x per v5e-8 at mAP parity, i.e. ~4.2 img/s per
-chip (BASELINE.json).
+Reference baselines (BASELINE.md): KITTI inference 0.6 s/img single GPU =>
+1.667 img/s; training ~0.25 s/img => 4 img/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Self-validation (a round-1 driver run recorded a physically impossible
+59,785 img/s because ``block_until_ready`` returned without the work being
+done in that environment):
+  * every timed iteration's outputs are CHECKSUMMED ON THE HOST — a fetched
+    numpy array cannot be faked by a lazy/acked dispatch;
+  * checksums must be finite and must DIFFER across distinct input batches;
+  * a roofline guard: if the implied MFU exceeds the physically plausible
+    bound for the chip, the benchmark aborts loudly instead of printing.
+
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline", ...}; the
+headline inference metric is the LAST line.
 """
 
 from __future__ import annotations
@@ -19,20 +30,59 @@ import time
 
 import numpy as np
 
-BASELINE_IMG_S = 1.0 / 0.6  # reference KITTI ResNet-50 (BASELINE.md)
+BASELINE_INFER_IMG_S = 1.0 / 0.6   # reference KITTI ResNet-50 (BASELINE.md)
+BASELINE_TRAIN_IMG_S = 1.0 / 0.25  # reference train step (BASELINE.md)
+PEAK_BF16_FLOP_S = 197e12          # TPU v5e peak bf16 (public spec)
+MAX_PLAUSIBLE_MFU = 0.85           # nothing real sustains above this end-to-end
+# conservative analytic lower bound if XLA cost analysis is unavailable:
+# R50 backbone ~70 GF + stage5 over 300 ROIs ~55 GF at 608x1504
+FALLBACK_FLOPS_PER_IMG = 100e9
 
 
-def main():
-    import dataclasses
+def die(msg: str) -> None:
+    print(f"BENCH ERROR: {msg}", file=sys.stderr)
+    sys.exit(1)
 
+
+def compiled_flops(jitted, *args) -> float:
+    """Total FLOPs of one call from XLA's cost analysis, or 0.0 if opaque."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def validate(name: str, checksums, imgs_per_item: int, dt_per_item: float,
+             flops_per_item: float) -> float:
+    """Common validation gate; returns mfu in [0,1] (0 if flops unknown)."""
+    arr = np.asarray(checksums, np.float64)
+    if not np.all(np.isfinite(arr)):
+        die(f"{name}: non-finite output checksums {arr[:8]}")
+    if len(set(np.round(arr, 6))) < 2 and len(arr) >= 2:
+        die(f"{name}: outputs are NOT input-dependent (all checksums equal: "
+            f"{arr[0]}) — the device did not do distinct work per batch")
+    if dt_per_item <= 0:
+        die(f"{name}: non-positive measured time {dt_per_item}")
+    floor_flops = flops_per_item if flops_per_item > 0 else (
+        FALLBACK_FLOPS_PER_IMG * imgs_per_item)
+    mfu = floor_flops / dt_per_item / PEAK_BF16_FLOP_S
+    if mfu > MAX_PLAUSIBLE_MFU:
+        die(f"{name}: implausible throughput — {dt_per_item*1e3:.2f} ms/item "
+            f"implies {mfu*100:.0f}% MFU (>{MAX_PLAUSIBLE_MFU*100:.0f}% of "
+            f"{PEAK_BF16_FLOP_S/1e12:.0f} TFLOP/s). The measurement is broken "
+            f"(round-1 failure mode), refusing to report it.")
+    return mfu
+
+
+def bench_inference(batch: int, iters: int) -> None:
     import jax
 
     from faster_rcnn_tpu.config import kitti_config
     from faster_rcnn_tpu.inference import make_detect_fn
     from faster_rcnn_tpu.models.detector import init_model
-
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
     cfg = kitti_config()
     model, variables = init_model(jax.random.PRNGKey(0), cfg)
@@ -42,57 +92,165 @@ def main():
 
     h, w = cfg.data.canvas
     rng = np.random.RandomState(0)
-    # distinct host batches so the transfer is honest work each iteration
     host_batches = [
         rng.randint(0, 256, (batch, h, w, 3), dtype=np.uint8) for _ in range(4)
     ]
     img_hw = jax.device_put(np.tile([[600, 1500]], (batch, 1)).astype(np.int32))
 
+    def checksum(out) -> float:
+        scores = np.asarray(out.scores, np.float64)      # forces D2H completion
+        boxes = np.asarray(out.boxes, np.float64)
+        if not np.all(np.isfinite(scores)):
+            die("inference: non-finite scores")
+        return float(scores.sum()) + 1e-6 * float(
+            np.clip(boxes, -1e9, 1e9).sum())
+
     # warmup + compile
     t0 = time.time()
-    out = detect(jax.device_put(host_batches[0]), img_hw)
-    jax.block_until_ready(out)
+    first = checksum(detect(jax.device_put(host_batches[0]), img_hw))
     compile_s = time.time() - t0
-    for _ in range(2):
-        jax.block_until_ready(detect(jax.device_put(host_batches[0]), img_hw))
+    del first
 
-    # Steady state on device-resident inputs (rotating pre-staged batches,
-    # queue depth 1).  The dev harness reaches the TPU through a network
-    # tunnel whose host->device bandwidth swings 50 MB/s - 1.4 GB/s within a
-    # session; including it would benchmark the tunnel, not the chip.  A real
+    # Steady state on device-resident inputs (rotating pre-staged batches).
+    # The dev harness reaches the TPU through a network tunnel whose
+    # host->device bandwidth swings 50 MB/s - 1.4 GB/s within a session;
+    # including it would benchmark the tunnel, not the chip.  A real
     # deployment feeds via local PCIe DMA overlapped with compute, so the
     # device-side number is the representative one; the measured tunnel
-    # transfer time is printed to stderr for transparency.
+    # transfer time is printed for transparency.
     dev_batches = [jax.device_put(b) for b in host_batches]
     jax.block_until_ready(dev_batches)
-    times = []
-    for i in range(iters):
-        t0 = time.time()
-        out = detect(dev_batches[i % len(dev_batches)], img_hw)
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
-    times.sort()
-    dt = float(np.median(times)) * iters
+    checksum(detect(dev_batches[0], img_hw))  # one more post-staging warmup
+
+    t0 = time.time()
+    outs = [detect(dev_batches[i % len(dev_batches)], img_hw)
+            for i in range(iters)]
+    sums = [checksum(o) for o in outs]  # host fetch: all work provably done
+    dt = time.time() - t0
 
     t0 = time.time()
     jax.block_until_ready(jax.device_put(host_batches[0]))
     h2d_ms = (time.time() - t0) * 1000
 
+    flops = 0.0
+    try:
+        import functools
+        if isinstance(detect, functools.partial):
+            flops = compiled_flops(detect.func, detect.args[0],
+                                   dev_batches[0], img_hw)
+    except Exception:
+        flops = 0.0
+
+    mfu = validate("inference", sums, batch, dt / iters, flops)
     img_s = batch * iters / dt
-    result = {
-        "metric": "kitti_resnet50_inference_throughput",
-        "value": round(img_s, 3),
-        "unit": "img/s",
-        "vs_baseline": round(img_s / BASELINE_IMG_S, 2),
-    }
     print(
-        f"# canvas={h}x{w} batch={batch} iters={iters} "
+        f"# infer canvas={h}x{w} batch={batch} iters={iters} "
         f"compile={compile_s:.1f}s steady={dt/iters*1000:.1f}ms/batch "
-        f"({dt/(batch*iters)*1000:.1f}ms/img) "
+        f"({dt/(batch*iters)*1000:.2f}ms/img) mfu={mfu*100:.1f}% "
+        f"flops/img={flops/max(batch,1)/1e9:.0f}GF "
         f"tunnel_h2d={h2d_ms:.0f}ms/{host_batches[0].nbytes/1e6:.0f}MB (excluded)",
         file=sys.stderr,
     )
-    print(json.dumps(result))
+    print(json.dumps({
+        "metric": "kitti_resnet50_inference_throughput",
+        "value": round(img_s, 3),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_INFER_IMG_S, 2),
+        "mfu_pct": round(mfu * 100, 1),
+    }))
+
+
+def bench_training(batch: int, iters: int) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from faster_rcnn_tpu.config import voc_config
+    from faster_rcnn_tpu.models.detector import init_model
+    from faster_rcnn_tpu.parallel.freeze import make_optimizer
+    from faster_rcnn_tpu.train import pipeline
+
+    cfg = voc_config()
+    model, variables = init_model(jax.random.PRNGKey(0), cfg)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    # lr 1e-4 + clip: keeps a from-scratch joint step finite for the measured
+    # window (production seeds from ImageNet; NOTES.md round-1)
+    tx = make_optimizer(params, cfg.model.network, cfg.model.freeze_blocks,
+                        1e-4, weight_decay=1e-4, clip_grad_norm=10.0)
+    state = pipeline.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step_fn = jax.jit(pipeline.make_joint_train_step(cfg, model, tx, batch_stats))
+
+    h, w = cfg.data.canvas
+    g = cfg.data.max_gt_boxes
+    rng = np.random.RandomState(0)
+
+    def make_batch(seed):
+        r = np.random.RandomState(seed)
+        gt = np.zeros((batch, g, 4), np.float32)
+        gt_valid = np.zeros((batch, g), bool)
+        gt_cls = np.zeros((batch, g), np.int32)
+        for i in range(batch):
+            n = r.randint(1, 4)
+            for j in range(n):
+                x1, y1 = r.randint(0, w - 80), r.randint(0, h - 80)
+                bw, bh = r.randint(30, 79), r.randint(30, 79)
+                gt[i, j] = [x1, y1, x1 + bw, y1 + bh]
+                gt_valid[i, j] = True
+                gt_cls[i, j] = r.randint(0, cfg.model.num_classes - 1)
+        return {
+            "image": r.standard_normal((batch, h, w, 3)).astype(np.float32) * 30,
+            "gt_boxes": gt, "gt_class": gt_cls, "gt_valid": gt_valid,
+            "img_hw": np.tile([[h, w]], (batch, 1)).astype(np.int32),
+        }
+
+    dev_batches = [jax.device_put(make_batch(s)) for s in range(2)]
+    keys = jax.device_put(jax.random.split(jax.random.PRNGKey(1), batch))
+    del rng
+
+    t0 = time.time()
+    state, metrics = step_fn(state, dev_batches[0], keys)
+    first_loss = float(metrics["loss"])   # host fetch
+    compile_s = time.time() - t0
+    if not np.isfinite(first_loss):
+        die("training: non-finite loss at first step")
+
+    t0 = time.time()
+    sums = []
+    for i in range(iters):
+        state, metrics = step_fn(state, dev_batches[i % 2], keys)
+        sums.append(float(metrics["loss"]))  # per-step host fetch: provable
+    dt = time.time() - t0
+
+    flops = compiled_flops(step_fn, state, dev_batches[0], keys)
+    mfu = validate("training", sums, batch, dt / iters, flops)
+    img_s = batch * iters / dt
+    print(
+        f"# train canvas={h}x{w} batch={batch} iters={iters} "
+        f"compile={compile_s:.1f}s steady={dt/iters*1000:.1f}ms/step "
+        f"({dt/(batch*iters)*1000:.2f}ms/img) mfu={mfu*100:.1f}% "
+        f"losses={['%.2f' % s for s in sums[:4]]}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "voc_resnet50_joint_train_throughput",
+        "value": round(img_s, 3),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_TRAIN_IMG_S, 2),
+        "mfu_pct": round(mfu * 100, 1),
+    }))
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    only = sys.argv[3] if len(sys.argv) > 3 else "all"
+    if only not in ("all", "train", "infer"):
+        die(f"unknown bench selector {only!r} (use: all | train | infer)")
+
+    if only in ("all", "train"):
+        bench_training(batch=8, iters=max(6, iters // 3))
+    if only in ("all", "infer"):
+        bench_inference(batch, iters)
 
 
 if __name__ == "__main__":

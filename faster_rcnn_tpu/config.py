@@ -86,13 +86,11 @@ class DetConfig:
     pos_iou: float = 0.5           # det_util.py:8 CLASSIFIER_POS_OVERLAP
     num_rois: int = 64             # shared_constants.py:18 NUM_ROIS
     pos_fraction: float = 0.25     # det_util.py:266 desired_pos = num//4
-    # Eligible-ROI buffer after the >=0.1 IoU filter; reference keeps a dynamic
-    # list (det_util.py:322), we keep a fixed padded pool to sample 64 from.
-    max_eligible: int = 512
     pool_size: int = 7             # vgg.py:18 / resnet.py:22 POOLING_REGIONS
-    # Final per-class NMS at inference (voc_dets.py:76)
+    # Final per-class NMS at inference (voc_dets.py:76).  The reference also
+    # caps detections at 2000/class (voc_dets.py:76) — with <=300 ROIs total
+    # that cap can never bind, so it is intentionally not a knob here.
     final_nms_iou: float = 0.5
-    max_dets_per_class: int = 100  # reference caps at 2000 but 300 ROIs bound it
     det_threshold: float = 0.0     # voc_dets.py:17 DEFAULT_DET_THRESHOLD
     # RoI-align implementation: 'einsum' (separable-bilinear matmuls, MXU,
     # ~20% faster fwd and matmul-based bwd) or 'gather' (4-tap HBM gathers)
