@@ -92,9 +92,12 @@ class DetConfig:
     # that cap can never bind, so it is intentionally not a knob here.
     final_nms_iou: float = 0.5
     det_threshold: float = 0.0     # voc_dets.py:17 DEFAULT_DET_THRESHOLD
-    # RoI-align implementation: 'einsum' (separable-bilinear matmuls, MXU,
-    # ~20% faster fwd and matmul-based bwd) or 'gather' (4-tap HBM gathers)
-    roi_align_impl: str = "einsum"
+    # RoI-align implementation: 'pallas' (fused MXU kernel, VMEM-resident
+    # feature map — 1.13 ms/300 ROIs on v5e vs einsum 1.88 / gather 2.62,
+    # NOTES.md round 2), 'einsum' (separable-bilinear matmuls), or 'gather'
+    # (4-tap HBM gathers).  On non-TPU backends 'pallas' runs the interpreter
+    # (exact, slow) — tests that don't target the kernel pin 'einsum'.
+    roi_align_impl: str = "pallas"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,19 +1,37 @@
-"""Pallas TPU kernel for RoI align (crop + TF1-bilinear resize).
+"""Pallas TPU kernel for RoI align (crop + TF1-bilinear resize) on the MXU.
 
-The XLA implementation (ops/roi_align.py) lowers to 4 large gathers that
-materialize 4 x (R, P, P, C) tap buffers in HBM before the lerp — ~240 MB of
-HBM traffic per KITTI-sized image.  This kernel keeps the whole feature map
-resident in VMEM (bf16 KITTI map: 38x94x1024x2B = 7.3 MB) and computes each
-ROI's 7x7 bilinear samples with VMEM-local row reads, writing only the
-(R, P*P, C) result — an order of magnitude less memory traffic and zero
-intermediate buffers.
+TPU-native replacement for the reference's ``RoiResizeConv`` Keras layer
+(custom_layers.py:35-56).  The XLA alternatives in ops/roi_align.py both pay
+heavy HBM traffic at detection shapes (R=300, 38x94x1024 feature map):
 
-Semantics identical to ops/roi_align.py / the reference RoiResizeConv
-(custom_layers.py:35-56): integer ROI corners, half-open crop, TF1 bilinear
-grid (src = out_idx * crop/P, taps floor / min(floor+1, crop-1)).
+  * ``gather``: 4 tap gathers materialize 4x (R, P, P, C) buffers in HBM;
+  * ``einsum``: the separable contraction writes + re-reads a (R, P, H, C)
+    intermediate — ~0.65 GB per KITTI image in fp32.
+
+This kernel never leaves VMEM between the taps and the pooled output.  The
+bilinear resize is recast as ONE dense matmul per ROI tile against the
+VMEM-resident feature map:
+
+    out[q, c] = sum_{y,x} W2[q, (y,x)] * F[(y,x), c],   q = i*P + j
+    W2[q, (y,x)] = Wy[i, y] * Wx[j, x]
+
+where Wy/Wx are the exact TF1 tap-weight rows (ops/roi_align.py
+``_tap_weights`` — the same code path as the einsum impl, so tap semantics are
+identical by construction).  W2 is built on the MXU too, by expanding Wy / Wx
+onto the (H*W) axis with constant one-hot expansion matrices:
+
+    E1 = Wy_rep @ ExpandY        ExpandY[y, (y',x)] = [y == y']
+    E2 = Wx_rep @ ExpandX        ExpandX[x, (y,x')] = [x == x']
+    W2 = E1 * E2                 (VPU elementwise)
+
+Per 8-ROI tile that is three MXU matmuls and one elementwise multiply; HBM
+traffic is the feature map ONCE (constant-index block, DMA'd a single time
+across all grid steps), the small tap-weight rows, and the output itself.
+The (H*W) axis is processed in <=1024-column chunks so the W2 intermediates
+stay within VMEM at KITTI scale (bf16 features: ~14 MB peak).
 
 The op is linear in the feature map, so the custom VJP computes the backward
-pass by transposing the XLA reference implementation — no residuals needed
+pass by transposing the XLA einsum implementation — no residuals needed
 beyond the ROIs.
 """
 
@@ -26,108 +44,128 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from faster_rcnn_tpu.ops.roi_align import roi_align as roi_align_xla
+from faster_rcnn_tpu.ops.roi_align import _tap_weights, roi_align_einsum
+
+_TILE_ROIS = 8        # ROIs per grid step; M = 8*49 = 392 (must keep T*49 % 8 == 0)
+_K_CHUNK = 512        # max HW-axis chunk: bounds VMEM; measured best vs 1024/1792
 
 
-_ALIGN = 16  # sublane alignment unit covering both f32 (8) and bf16 (16) tiling
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
 
 
-def _kernel(rois_ref, feat_ref, out_ref, *, pool: int, width: int):
-    """One grid step = one ROI.
+def _chunks(total: int):
+    """Split [0, total) into <=_K_CHUNK slices, each a multiple of 128."""
+    assert total % 128 == 0
+    out, lo = [], 0
+    while lo < total:
+        size = min(_K_CHUNK, total - lo)
+        out.append((lo, size))
+        lo += size
+    return tuple(out)
 
-    rois_ref: scalar-prefetch (R*4,) int32 [x1, y1, x2, y2] per ROI.
-    feat_ref: (rows_padded, C) feature rows, VMEM-resident across grid steps
-      (rows padded to a multiple of _ALIGN plus one spare block).
-    out_ref: (1, P*P, C) this ROI's output block.
 
-    Mosaic cannot issue a vector load at an arbitrary (runtime) sublane
-    offset, so each tap loads the ALIGN-row block containing the target row
-    (provably aligned via pl.multiple_of) and selects the row with an iota
-    mask + cross-sublane sum — all VPU work on VMEM-resident data.
+def _kernel(wy_ref, wx_ref, ey_ref, ex_ref, f2_ref, out_ref, *, chunks):
+    """One grid step = one tile of _TILE_ROIS ROIs.
+
+    wy_ref: (TQ, Hp)  per-(roi, out-cell) row tap weights for this tile
+    wx_ref: (TQ, Wp)  per-(roi, out-cell) column tap weights
+    ey_ref: (Hp, HWp) constant one-hot row expansion
+    ex_ref: (Wp, HWp) constant one-hot column expansion
+    f2_ref: (HWp, C)  flattened feature map, VMEM-resident across all steps
+    out_ref: (TQ, C)  pooled output rows for this tile
     """
-    r = pl.program_id(0)
-    x1 = rois_ref[4 * r]
-    y1 = rois_ref[4 * r + 1]
-    x2 = rois_ref[4 * r + 2]
-    y2 = rois_ref[4 * r + 3]
-    w = x2 - x1
-    h = y2 - y1
-    wf = w.astype(jnp.float32)
-    hf = h.astype(jnp.float32)
-
-    def tap(row_idx):
-        base = pl.multiple_of((row_idx // _ALIGN) * _ALIGN, _ALIGN)
-        block = feat_ref[pl.ds(base, _ALIGN), :].astype(jnp.float32)
-        rows = jax.lax.broadcasted_iota(jnp.int32, (_ALIGN, 1), 0) + base
-        sel = (rows == row_idx).astype(jnp.float32)
-        return jnp.sum(block * sel, axis=0)  # (C,)
-
-    for i in range(pool):
-        sy = i * hf / pool
-        y0 = jnp.floor(sy)
-        fy = sy - y0
-        y0i = y0.astype(jnp.int32)
-        ya = y1 + y0i
-        yb = y1 + jnp.minimum(y0i + 1, h - 1)
-        for j in range(pool):
-            sx = j * wf / pool
-            x0 = jnp.floor(sx)
-            fx = sx - x0
-            x0i = x0.astype(jnp.int32)
-            xa = x1 + x0i
-            xb = x1 + jnp.minimum(x0i + 1, w - 1)
-
-            f00 = tap(ya * width + xa)
-            f01 = tap(ya * width + xb)
-            f10 = tap(yb * width + xa)
-            f11 = tap(yb * width + xb)
-
-            top = f00 + (f01 - f00) * fx
-            bot = f10 + (f11 - f10) * fx
-            val = top + (bot - top) * fy
-            out_ref[0, i * pool + j, :] = val.astype(out_ref.dtype)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def roi_align_pallas(features, rois, pool_size: int = 7, interpret: bool = False):
-    """(H, W, C) x (R, 4) -> (R, P, P, C), Pallas TPU kernel.
-
-    ``interpret=True`` runs the kernel in the Pallas interpreter (for CPU
-    tests).  ROIs must satisfy the proposal clip invariants (x2 >= x1+1 etc.,
-    det_util.py:179-192 semantics).
-    """
-    return _forward(features, rois, pool_size, interpret)
+    wy = wy_ref[:]
+    wx = wx_ref[:]
+    acc = None
+    for lo, size in chunks:
+        e1 = jnp.dot(wy, ey_ref[:, lo:lo + size],
+                     preferred_element_type=jnp.float32)
+        e2 = jnp.dot(wx, ex_ref[:, lo:lo + size],
+                     preferred_element_type=jnp.float32)
+        w2 = (e1 * e2).astype(f2_ref.dtype)
+        part = jnp.dot(w2, f2_ref[lo:lo + size, :],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    out_ref[:] = acc.astype(out_ref.dtype)
 
 
 def _forward(features, rois, pool_size, interpret):
     h, w, c = features.shape
     r = rois.shape[0]
-    rois_flat = rois.astype(jnp.int32).reshape(r * 4)
-    feat2d = features.reshape(h * w, c)
-    # pad rows so every ALIGN-row tap block is in bounds
-    from faster_rcnn_tpu.ops.roi_align_pallas import _ALIGN  # self, for clarity
+    p = pool_size
+    q = p * p
+    t = _TILE_ROIS
+    dtype = features.dtype
 
-    rows_padded = ((h * w + _ALIGN - 1) // _ALIGN + 1) * _ALIGN
-    feat2d = jnp.pad(feat2d, ((0, rows_padded - h * w), (0, 0)))
+    rois = rois.astype(jnp.float32)
+    wy = _tap_weights(rois[:, 1], rois[:, 3] - rois[:, 1], h, p)   # (R, P, H)
+    wx = _tap_weights(rois[:, 0], rois[:, 2] - rois[:, 0], w, p)   # (R, P, W)
+    # (R, Q, *): row weights vary with the output row i -> repeat over j;
+    # column weights vary with j -> tile over i
+    wy_rep = jnp.repeat(wy, p, axis=1)                             # (R, Q, H)
+    wx_rep = jnp.tile(wx, (1, p, 1))                               # (R, Q, W)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(r,),
+    hp = _round_up(h, 16)
+    wp = _round_up(w, 16)
+    hwp = _round_up(h * w, 128)
+    r_pad = _round_up(r, t)
+
+    wy_rep = jnp.pad(wy_rep, ((0, r_pad - r), (0, 0), (0, hp - h))).reshape(r_pad * q, hp)
+    wx_rep = jnp.pad(wx_rep, ((0, r_pad - r), (0, 0), (0, wp - w))).reshape(r_pad * q, wp)
+
+    # one-hot expansions onto the flattened (y, x) axis
+    ey = jnp.repeat(jnp.eye(h, dtype=jnp.float32), w, axis=1)      # (H, H*W)
+    ex = jnp.tile(jnp.eye(w, dtype=jnp.float32), (1, h))           # (W, H*W)
+    ey = jnp.pad(ey, ((0, hp - h), (0, hwp - h * w)))
+    ex = jnp.pad(ex, ((0, wp - w), (0, hwp - h * w)))
+
+    f2 = jnp.pad(features.reshape(h * w, c), ((0, hwp - h * w), (0, 0)))
+
+    # MXU inputs in the feature dtype (bf16 in production); accumulation fp32
+    wy_rep = wy_rep.astype(dtype)
+    wx_rep = wx_rep.astype(dtype)
+    ey = ey.astype(dtype)
+    ex = ex.astype(dtype)
+
+    tq = t * q
+    grid_spec = pl.GridSpec(
+        grid=(r_pad // t,),
         in_specs=[
-            # whole feature map as one VMEM-resident block (constant index map
-            # means it is DMA'd once and reused across all R grid steps)
-            pl.BlockSpec((rows_padded, c), lambda i, rois_s: (0, 0)),
+            pl.BlockSpec((tq, hp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # constant blocks: DMA'd once, reused across every grid step
+            pl.BlockSpec((hp, hwp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, hwp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hwp, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, pool_size * pool_size, c), lambda i, rois_s: (i, 0, 0)),
+        out_specs=pl.BlockSpec((tq, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )
-
     out = pl.pallas_call(
-        functools.partial(_kernel, pool=pool_size, width=w),
-        out_shape=jax.ShapeDtypeStruct((r, pool_size * pool_size, c), features.dtype),
+        functools.partial(_kernel, chunks=_chunks(hwp)),
+        out_shape=jax.ShapeDtypeStruct((r_pad * q, c), dtype),
         grid_spec=grid_spec,
+        # Under vmap (batched images) the feature-map block index varies with
+        # the batch grid dim, so Mosaic double-buffers it — 2x 7.3 MB at KITTI
+        # scale overflows the default 16 MB scoped-vmem budget.  v5e has far
+        # more physical VMEM; raise the cap for this kernel.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(rois_flat, feat2d)
-    return out.reshape(r, pool_size, pool_size, c)
+    )(wy_rep, wx_rep, ey, ex, f2)
+    return out[: r * q].reshape(r, p, p, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def roi_align_pallas(features, rois, pool_size: int = 7, interpret: bool = False):
+    """(H, W, C) x (R, 4) -> (R, P, P, C), Pallas TPU MXU kernel.
+
+    Tap semantics identical to ops/roi_align.py (shared ``_tap_weights``);
+    matmul inputs run in the feature dtype (bf16 in production) with fp32
+    accumulation.  ``interpret=True`` runs the Pallas interpreter (CPU tests).
+    ROIs must satisfy the proposal-clip invariants (x2 >= x1+1 etc.,
+    det_util.py:179-192 semantics).
+    """
+    return _forward(features, rois, pool_size, interpret)
 
 
 def _fwd(features, rois, pool_size, interpret):
@@ -138,10 +176,9 @@ def _fwd(features, rois, pool_size, interpret):
 
 def _bwd(pool_size, interpret, residuals, g):
     rois, zeros = residuals
-    # roi_align is linear in `features`: its VJP is the transpose of the
-    # gather+lerp map, which we get from the XLA implementation's autodiff
-    # evaluated at zero.
-    _, vjp = jax.vjp(lambda f: roi_align_xla(f, rois, pool_size), zeros)
+    # linear in `features`: the VJP is the transpose of the einsum
+    # implementation's linear map, obtained from XLA autodiff at zero.
+    _, vjp = jax.vjp(lambda f: roi_align_einsum(f, rois, pool_size), zeros)
     (dfeat,) = vjp(g)
     return dfeat, None
 

@@ -24,7 +24,7 @@ def tiny_config(network="vgg16"):
     return FasterRcnnConfig(
         anchors=AnchorConfig(scales=(16, 32), ratios=((1, 1), (2, 1))),
         rpn=RpnConfig(train_pre_nms=256, train_post_nms=64, infer_pre_nms=256, infer_post_nms=32),
-        det=DetConfig(num_rois=16),
+        det=DetConfig(num_rois=16, roi_align_impl="einsum"),
         data=DataConfig(canvas_h=64, canvas_w=96, max_gt_boxes=8, resize_min=48, resize_max=96),
         model=ModelConfig(network=network, num_classes=6, freeze_blocks=(1, 2)),
     )
