@@ -19,7 +19,24 @@ from tests.test_train_step import tiny_batch, tiny_config
 
 # Golden values captured on jax 0.9.0 / CPU backend, seed recipe below.
 GOLDEN_RPN = {"loss": 0.1416, "rpn_cls": 0.1164, "rpn_reg": 0.0252}
+GOLDEN_DET_STEP2 = {"det_cls": 1.7933, "det_reg": 0.6916, "loss": 2.4849, "num_valid_images": 2.0}
+GOLDEN_DET_STEP4 = {"det_cls": 1.7877, "det_reg": 0.6914, "loss": 2.4792, "num_valid_images": 2.0}
+GOLDEN_JOINT = {"det_cls": 1.7933, "det_reg": 0.6916, "loss": 2.6402,
+                "num_valid_images": 2.0, "rpn_cls": 0.1069, "rpn_reg": 0.0484}
+GOLDEN_DETECT = {"num_valid": 36, "score_sum": 7.833, "box_sum": 4711.3, "class_sum": 73}
 TOL = 2e-3  # fp32 reduction-order headroom
+
+
+def _round_metrics(metrics):
+    return {k: round(float(v), 4) for k, v in metrics.items()}
+
+
+def _make_state(cfg, params, lr=1e-3, freeze_modules=(), heads_only=False):
+    tx = make_optimizer(
+        params, cfg.model.network, cfg.model.freeze_blocks, lr,
+        freeze_modules=freeze_modules,
+    )
+    return tx, pipeline.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
 
 
 def _run_one_rpn_step():
@@ -32,13 +49,79 @@ def _run_one_rpn_step():
     batch = tiny_batch(cfg, b=2, seed=7)
     keys = jax.random.split(jax.random.PRNGKey(123), 2)
     _, metrics = step(state, batch, keys)
-    return {k: round(float(v), 4) for k, v in metrics.items()}
+    return _round_metrics(metrics)
+
+
+def _run_one_det_step(heads_only: bool):
+    """Step-2 (own backbone) / step-4 (heads only) detector regression.
+
+    Mirrors the reference's train_det_test.py:52-94 idea: seeded init, one
+    training iteration, compare against a golden — here numeric loss scalars
+    instead of an h5diff of one layer's weights.
+    """
+    cfg = tiny_config("vgg16")
+    model, variables = init_model(jax.random.PRNGKey(42), cfg)
+    params = variables["params"]
+    # separate frozen RPN tree, seeded differently (reference: step-1 weights)
+    _, rpn_variables = init_model(jax.random.PRNGKey(43), cfg)
+    tx, state = _make_state(cfg, params, freeze_modules=("rpn_head",))
+    step = jax.jit(
+        pipeline.make_det_train_step(cfg, model, tx, {}, heads_only=heads_only)
+    )
+    # seed 17: produces >=1 positive ROI so the det REG loss path is pinned too
+    batch = tiny_batch(cfg, b=2, seed=17)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    _, metrics = step(state, batch, keys, rpn_variables)
+    return _round_metrics(metrics)
+
+
+def _run_one_joint_step():
+    cfg = tiny_config("vgg16")
+    model, variables = init_model(jax.random.PRNGKey(42), cfg)
+    params = variables["params"]
+    tx, state = _make_state(cfg, params)
+    step = jax.jit(pipeline.make_joint_train_step(cfg, model, tx, {}))
+    batch = tiny_batch(cfg, b=2, seed=17)
+    keys = jax.random.split(jax.random.PRNGKey(5), 2)
+    _, metrics = step(state, batch, keys)
+    return _round_metrics(metrics)
+
+
+def _run_detect_program():
+    """The full fused detect program (backbone -> RPN -> proposal NMS ->
+    RoI align -> det head -> class-offset NMS) pinned as a numeric golden."""
+    from faster_rcnn_tpu.inference import make_detect_fn
+
+    cfg = tiny_config("vgg16")
+    model, variables = init_model(jax.random.PRNGKey(42), cfg)
+    detect = make_detect_fn(cfg, model, variables)
+    rng = np.random.RandomState(11)
+    images = jnp.asarray(
+        rng.standard_normal((2, cfg.data.canvas_h, cfg.data.canvas_w, 3)) * 40,
+        jnp.float32,
+    )
+    img_hw = jnp.asarray(
+        np.tile([[cfg.data.canvas_h, cfg.data.canvas_w]], (2, 1)).astype(np.int32)
+    )
+    out = detect(images, img_hw)
+    valid = np.asarray(out.valid)
+    return {
+        "num_valid": int(valid.sum()),
+        "score_sum": round(float(np.asarray(out.scores)[valid].sum()), 3),
+        "box_sum": round(float(np.asarray(out.boxes)[valid].sum()), 1),
+        "class_sum": int(np.asarray(out.classes)[valid].sum()),
+    }
+
+
+def _check(metrics, golden, tol=TOL):
+    assert golden is not None, "golden not captured; run python -m tests.test_regression"
+    for k, want in golden.items():
+        got = metrics[k]
+        assert abs(got - want) <= tol * max(1.0, abs(want)), (k, got, want)
 
 
 def test_rpn_single_step_golden():
-    metrics = _run_one_rpn_step()
-    for k, want in GOLDEN_RPN.items():
-        assert abs(metrics[k] - want) < TOL, (k, metrics[k], want)
+    _check(_run_one_rpn_step(), GOLDEN_RPN)
 
 
 def test_rpn_single_step_deterministic():
@@ -47,5 +130,34 @@ def test_rpn_single_step_deterministic():
     assert a == b
 
 
+def test_det_step2_golden():
+    _check(_run_one_det_step(heads_only=False), GOLDEN_DET_STEP2)
+
+
+def test_det_step4_golden():
+    _check(_run_one_det_step(heads_only=True), GOLDEN_DET_STEP4)
+
+
+def test_joint_step_golden():
+    _check(_run_one_joint_step(), GOLDEN_JOINT)
+
+
+def test_detect_program_golden():
+    got = _run_detect_program()
+    assert GOLDEN_DETECT is not None
+    # discrete outputs (counts, class ids) must match exactly; sums carry
+    # bf16-conv reduction-order headroom
+    assert got["num_valid"] == GOLDEN_DETECT["num_valid"], got
+    assert got["class_sum"] == GOLDEN_DETECT["class_sum"], got
+    assert abs(got["score_sum"] - GOLDEN_DETECT["score_sum"]) <= 0.02, got
+    assert abs(got["box_sum"] - GOLDEN_DETECT["box_sum"]) <= max(
+        1.0, 2e-3 * abs(GOLDEN_DETECT["box_sum"])
+    ), got
+
+
 if __name__ == "__main__":
-    print("golden:", _run_one_rpn_step())
+    print("GOLDEN_RPN =", _run_one_rpn_step())
+    print("GOLDEN_DET_STEP2 =", _run_one_det_step(heads_only=False))
+    print("GOLDEN_DET_STEP4 =", _run_one_det_step(heads_only=True))
+    print("GOLDEN_JOINT =", _run_one_joint_step())
+    print("GOLDEN_DETECT =", _run_detect_program())
