@@ -53,6 +53,10 @@ def add_common_args(p: argparse.ArgumentParser, training: bool = True) -> None:
                             "(default: per-network preset; 'none' to train all)")
         p.add_argument("--flip", action="store_true", default=True)
         p.add_argument("--no-flip", dest="flip", action="store_false")
+        p.add_argument("--multihost", action="store_true",
+                       help="multi-process training: global mesh over all "
+                            "hosts' devices, per-host dataset shards "
+                            "(parallel/multihost.py); batch_size is global")
 
 
 def _round_up(x: int, m: int = 32) -> int:

@@ -45,7 +45,7 @@ def main(argv=None):
     results = run_four_step_training(
         cfg, records, class_mapping, args.workdir, steps=steps,
         batch_size=args.batch_size, save_frequency=args.save_frequency,
-        seed=args.seed,
+        seed=args.seed, multihost=args.multihost,
     )
     for s, r in results.items():
         print(f"step {s} final metrics: {r.final_metrics}")

@@ -88,6 +88,7 @@ def train_one_step(
     max_steps: Optional[int] = None,
     seed: int = 0,
     devices=None,
+    multihost: bool = False,
 ) -> TrainResult:
     """Run one of the 4 training steps to completion (with auto-resume).
 
@@ -96,6 +97,10 @@ def train_one_step(
         fresh init if None.
       rpn_params: frozen RPN parameter tree for proposal generation
         (required for steps 2/4).
+      multihost: build the mesh over every process's devices and feed the
+        global batch from per-host dataset shards (parallel/multihost.py).
+        ``batch_size`` stays the GLOBAL batch.  With one process this is
+        behaviorally identical to the local mesh path.
     """
     is_rpn_step = step in (1, 3) or step == "joint"
     batch_size = batch_size or cfg.train.batch_size
@@ -162,16 +167,29 @@ def train_one_step(
 
     # Multi-device: shard the batch over the 'data' mesh axis; jit propagates
     # the sharding through the step and inserts the gradient all-reduce.
-    avail = list(devices) if devices else jax.devices()
-    n_data = min(len(avail), batch_size)
-    use_mesh = n_data > 1 and batch_size % n_data == 0
-    the_mesh = mesh_lib.create_mesh(devices=avail[:n_data]) if use_mesh else None
-    loader = TrainLoader(records, class_mapping, cfg, batch_size, seed=seed)
+    if multihost:
+        from faster_rcnn_tpu.parallel import multihost as mh
+
+        mh.maybe_initialize()
+        the_mesh = mh.global_mesh()
+        local_bs = mh.local_batch_size(batch_size)
+        records = mh.shard_records_for_host(records)
+        loader = TrainLoader(records, class_mapping, cfg, local_bs, seed=seed)
+    else:
+        avail = list(devices) if devices else jax.devices()
+        n_data = min(len(avail), batch_size)
+        use_mesh = n_data > 1 and batch_size % n_data == 0
+        the_mesh = mesh_lib.create_mesh(devices=avail[:n_data]) if use_mesh else None
+        loader = TrainLoader(records, class_mapping, cfg, batch_size, seed=seed)
     it = iter(loader)
     step_id = step if isinstance(step, int) else 5  # "joint"
     key = jax.random.PRNGKey(seed + 1000 * step_id)
 
     def put(batch):
+        if multihost:
+            from faster_rcnn_tpu.parallel import multihost as mh
+
+            return mh.global_batch(the_mesh, batch, batch_size)
         if the_mesh is not None:
             return mesh_lib.shard_batch(the_mesh, batch)
         return {k: jnp.asarray(v) for k, v in batch.items()}
@@ -204,9 +222,14 @@ def train_one_step(
     for i in range(start_iter, total):
         canvas, batch = pending
         key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, batch_size)
-        if the_mesh is not None:
-            keys = jax.device_put(keys, mesh_lib.batch_sharding(the_mesh))
+        if multihost:
+            from faster_rcnn_tpu.parallel import multihost as mh
+
+            keys = mh.global_keys(the_mesh, sub, batch_size)
+        else:
+            keys = jax.random.split(sub, batch_size)
+            if the_mesh is not None:
+                keys = jax.device_put(keys, mesh_lib.batch_sharding(the_mesh))
         if is_rpn_step:
             state, metrics = step_fn_for(canvas)(state, batch, keys)
         else:

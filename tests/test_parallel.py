@@ -141,3 +141,71 @@ def test_multichip_detect_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ref.boxes), np.asarray(got.boxes), rtol=1e-5, atol=1e-4
     )
+
+
+class TestMultihost:
+    """parallel/multihost.py on the virtual mesh (process_count == 1 here;
+    the helpers must degenerate exactly to the single-host sharded path)."""
+
+    def test_global_mesh_and_batch_assembly(self):
+        from faster_rcnn_tpu.parallel import multihost as mh
+
+        assert not mh.maybe_initialize()  # single process, no coordinator
+        m = mh.global_mesh()
+        assert m.devices.size == 8 and m.axis_names == ("data", "model")
+
+        local = {"x": np.arange(32, dtype=np.float32).reshape(8, 4)}
+        g = mh.global_batch(m, local, 8)
+        assert g["x"].shape == (8, 4)
+        assert len(g["x"].addressable_shards) == 8
+        np.testing.assert_array_equal(np.asarray(g["x"]), local["x"])
+
+        keys = mh.global_keys(m, jax.random.PRNGKey(0), 8)
+        assert keys.shape[0] == 8
+        np.testing.assert_array_equal(
+            np.asarray(keys), np.asarray(jax.random.split(jax.random.PRNGKey(0), 8))
+        )
+
+    def test_record_sharding_partitions(self):
+        from faster_rcnn_tpu.parallel import multihost as mh
+
+        recs = list(range(10))
+        parts = [
+            mh.shard_records_for_host(recs, process_index=i, process_count=4)
+            for i in range(4)
+        ]
+        assert sorted(sum(parts, [])) == recs
+        assert mh.shard_records_for_host(recs) == recs  # 1 process = identity
+
+    def test_local_batch_size_single_process(self):
+        from faster_rcnn_tpu.parallel import multihost as mh
+
+        assert mh.local_batch_size(8) == 8  # 1 process: local == global
+
+    def test_joint_step_via_multihost_batch_matches_local(self):
+        """One joint train step fed through the multihost global-batch path
+        equals the same step on the plain local sharded path."""
+        from faster_rcnn_tpu.parallel import multihost as mh
+
+        cfg = tiny_config("vgg16")
+        model, variables = init_model(jax.random.PRNGKey(0), cfg)
+        params = variables["params"]
+        tx = make_optimizer(params, "vgg16", (1, 2), 1e-3)
+        state = pipeline.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+        step = jax.jit(pipeline.make_joint_train_step(cfg, model, tx, {}))
+
+        host = {k: np.asarray(v) for k, v in tiny_batch(cfg, b=8).items()}
+        keyseed = jax.random.PRNGKey(3)
+
+        m = mh.global_mesh()
+        b1 = mh.global_batch(m, host, 8)
+        k1 = mh.global_keys(m, keyseed, 8)
+        _, m1 = step(state, b1, k1)
+
+        m2_mesh = mesh_lib.create_mesh()
+        b2 = mesh_lib.shard_batch(m2_mesh, host)
+        k2 = jax.device_put(jax.random.split(keyseed, 8), mesh_lib.batch_sharding(m2_mesh))
+        _, m2 = step(state, b2, k2)
+
+        for k in m1:
+            np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=1e-6)
