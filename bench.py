@@ -11,10 +11,17 @@ Reference baselines (BASELINE.md): KITTI inference 0.6 s/img single GPU =>
 
 Self-validation (a round-1 driver run recorded a physically impossible
 59,785 img/s because ``block_until_ready`` returned without the work being
-done in that environment):
-  * every timed iteration's outputs are CHECKSUMMED ON THE HOST — a fetched
-    numpy array cannot be faked by a lazy/acked dispatch;
-  * checksums must be finite and must DIFFER across distinct input batches;
+done in that environment; round-2 additionally measured host<->device fetch
+round-trips swinging from ~1 ms to ~6 s within a session):
+  * every timed iteration is DATA-CHAINED into the next one (the input of
+    iteration i+1 depends on a checksum of iteration i's outputs), so the
+    remote runtime cannot elide, reorder, or overlap dispatches — the chain
+    is provably executed end-to-end before the final fetch returns;
+  * timing covers the chain with ONE final synchronization, so the
+    fluctuating tunnel round-trip appears once, not per iteration;
+  * after timing, every per-iteration device checksum is fetched and must
+    be finite and input-dependent (checksums must differ across iterations
+    that saw different inputs);
   * a roofline guard: if the implied MFU exceeds the physically plausible
     bound for the chip, the benchmark aborts loudly instead of printing.
 
@@ -97,36 +104,44 @@ def bench_inference(batch: int, iters: int) -> None:
     ]
     img_hw = jax.device_put(np.tile([[600, 1500]], (batch, 1)).astype(np.int32))
 
-    def checksum(out) -> float:
-        scores = np.asarray(out.scores, np.float64)      # forces D2H completion
-        boxes = np.asarray(out.boxes, np.float64)
-        if not np.all(np.isfinite(scores)):
-            die("inference: non-finite scores")
-        return float(scores.sum()) + 1e-6 * float(
-            np.clip(boxes, -1e9, 1e9).sum())
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained_step(images_u8, hw):
+        """One detect iteration whose OUTPUT feeds the next iteration's
+        INPUT: the runtime cannot elide/overlap any iteration, and one final
+        sync covers the whole chain (see module docstring)."""
+        out = detect(images_u8, hw)
+        cs = jnp.sum(out.scores) + 1e-6 * jnp.sum(
+            jnp.clip(out.boxes, -1e9, 1e9)
+        )
+        # data-dependent pixel bump (uint8 wraparound): the compiler cannot
+        # prove cs is finite, so the dependency is unremovable; inputs also
+        # differ every iteration, which the checksum validation requires
+        bump = jnp.where(jnp.isfinite(cs), 1, 0).astype(jnp.uint8)
+        return images_u8 + bump, cs
 
     # warmup + compile
+    dev_img = jax.device_put(host_batches[0])
     t0 = time.time()
-    first = checksum(detect(jax.device_put(host_batches[0]), img_hw))
+    first = jax.block_until_ready(chained_step(dev_img, img_hw))
     compile_s = time.time() - t0
     del first
 
-    # Steady state on device-resident inputs (rotating pre-staged batches).
-    # The dev harness reaches the TPU through a network tunnel whose
-    # host->device bandwidth swings 50 MB/s - 1.4 GB/s within a session;
-    # including it would benchmark the tunnel, not the chip.  A real
-    # deployment feeds via local PCIe DMA overlapped with compute, so the
-    # device-side number is the representative one; the measured tunnel
-    # transfer time is printed for transparency.
-    dev_batches = [jax.device_put(b) for b in host_batches]
-    jax.block_until_ready(dev_batches)
-    checksum(detect(dev_batches[0], img_hw))  # one more post-staging warmup
-
+    # Steady state, device-resident input chain.  The dev harness reaches
+    # the TPU through a network tunnel whose transfer/fetch round-trip
+    # swings wildly within a session; the chain syncs ONCE so the tunnel
+    # appears once, while every iteration is still provably executed.
+    jax.block_until_ready(dev_img)
     t0 = time.time()
-    outs = [detect(dev_batches[i % len(dev_batches)], img_hw)
-            for i in range(iters)]
-    sums = [checksum(o) for o in outs]  # host fetch: all work provably done
+    cs_list = []
+    x = dev_img
+    for _ in range(iters):
+        x, cs = chained_step(x, img_hw)
+        cs_list.append(cs)
+    jax.block_until_ready(x)
     dt = time.time() - t0
+    sums = [float(c) for c in cs_list]  # fetch AFTER timing; validates below
 
     t0 = time.time()
     jax.block_until_ready(jax.device_put(host_batches[0]))
@@ -136,8 +151,7 @@ def bench_inference(batch: int, iters: int) -> None:
     try:
         import functools
         if isinstance(detect, functools.partial):
-            flops = compiled_flops(detect.func, detect.args[0],
-                                   dev_batches[0], img_hw)
+            flops = compiled_flops(detect.func, detect.args[0], dev_img, img_hw)
     except Exception:
         flops = 0.0
 
@@ -214,12 +228,17 @@ def bench_training(batch: int, iters: int) -> None:
     if not np.isfinite(first_loss):
         die("training: non-finite loss at first step")
 
+    # The optimizer state chains through every step, so no iteration can be
+    # elided; losses are kept as device scalars and fetched AFTER timing
+    # (one final sync instead of one fluctuating tunnel round-trip per step).
     t0 = time.time()
-    sums = []
+    loss_refs = []
     for i in range(iters):
         state, metrics = step_fn(state, dev_batches[i % 2], keys)
-        sums.append(float(metrics["loss"]))  # per-step host fetch: provable
+        loss_refs.append(metrics["loss"])
+    jax.block_until_ready(state.params)
     dt = time.time() - t0
+    sums = [float(v) for v in loss_refs]
 
     flops = compiled_flops(step_fn, state, dev_batches[0], keys)
     mfu = validate("training", sums, batch, dt / iters, flops)

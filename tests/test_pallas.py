@@ -84,3 +84,25 @@ class TestNmsPallas:
             nms_keep_mask_pallas(bs, vs, 0.5, tile=64, enough=5, interpret=True)))[0]
         k = min(5, len(want))
         np.testing.assert_array_equal(want[:k], got[:k])
+
+
+class TestSortPallas:
+    """Bitonic top-k kernel (ops/sort_pallas.py) — bit-exact vs lax.top_k."""
+
+    def test_matches_topk_with_ties(self, rng):
+        from faster_rcnn_tpu.ops.sort_pallas import topk_sorted_pallas
+
+        for n, k in [(1000, 300), (1024, 1024), (3000, 1200), (5000, 10)]:
+            x = rng.uniform(size=n).astype(np.float32)
+            x[rng.randint(0, n, 50)] = 0.5  # tie plateau
+            v, i = topk_sorted_pallas(jnp.asarray(x), k, interpret=True)
+            tv, ti = jax.lax.top_k(jnp.asarray(x), k)
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(tv))
+            np.testing.assert_array_equal(np.asarray(i), np.asarray(ti))
+
+    def test_all_masked_indices_in_bounds(self):
+        from faster_rcnn_tpu.ops.sort_pallas import topk_sorted_pallas
+
+        x = np.full(2000, -1e30, np.float32)
+        _, i = topk_sorted_pallas(jnp.asarray(x), 300, interpret=True)
+        assert np.all(np.asarray(i) < 2000)
