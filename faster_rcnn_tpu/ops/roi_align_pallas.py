@@ -65,29 +65,40 @@ def _chunks(total: int):
     return tuple(out)
 
 
-def _kernel(wy_ref, wx_ref, ey_ref, ex_ref, f2_ref, out_ref, *, chunks):
+def _kernel(ranges_ref, wy_ref, wx_ref, ey_ref, ex_ref, f2_ref, out_ref,
+            acc_ref, *, chunks):
     """One grid step = one tile of _TILE_ROIS ROIs.
 
+    ranges_ref: scalar-prefetch (n_tiles*2,) int32 — this tile's inclusive
+      [first, last] chunk indices covering the (y,x) support of all its ROIs
+      (ROIs are pre-sorted by y1 so tiles are spatially coherent and the
+      range is tight; W2 is provably zero outside it).
     wy_ref: (TQ, Hp)  per-(roi, out-cell) row tap weights for this tile
     wx_ref: (TQ, Wp)  per-(roi, out-cell) column tap weights
     ey_ref: (Hp, HWp) constant one-hot row expansion
     ex_ref: (Wp, HWp) constant one-hot column expansion
     f2_ref: (HWp, C)  flattened feature map, VMEM-resident across all steps
     out_ref: (TQ, C)  pooled output rows for this tile
+    acc_ref: (TQ, C)  f32 scratch accumulator (needed because chunk work is
+      predicated — a plain value chain can't thread through pl.when)
     """
+    i = pl.program_id(0)
+    c_lo = ranges_ref[2 * i]
+    c_hi = ranges_ref[2 * i + 1]
     wy = wy_ref[:]
     wx = wx_ref[:]
-    acc = None
-    for lo, size in chunks:
-        e1 = jnp.dot(wy, ey_ref[:, lo:lo + size],
-                     preferred_element_type=jnp.float32)
-        e2 = jnp.dot(wx, ex_ref[:, lo:lo + size],
-                     preferred_element_type=jnp.float32)
-        w2 = (e1 * e2).astype(f2_ref.dtype)
-        part = jnp.dot(w2, f2_ref[lo:lo + size, :],
-                       preferred_element_type=jnp.float32)
-        acc = part if acc is None else acc + part
-    out_ref[:] = acc.astype(out_ref.dtype)
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    for k, (lo, size) in enumerate(chunks):
+        @pl.when((k >= c_lo) & (k <= c_hi))
+        def _(lo=lo, size=size):
+            e1 = jnp.dot(wy, ey_ref[:, lo:lo + size],
+                         preferred_element_type=jnp.float32)
+            e2 = jnp.dot(wx, ex_ref[:, lo:lo + size],
+                         preferred_element_type=jnp.float32)
+            w2 = (e1 * e2).astype(f2_ref.dtype)
+            acc_ref[:] += jnp.dot(w2, f2_ref[lo:lo + size, :],
+                                  preferred_element_type=jnp.float32)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
 def _forward(features, rois, pool_size, interpret):
@@ -98,7 +109,13 @@ def _forward(features, rois, pool_size, interpret):
     t = _TILE_ROIS
     dtype = features.dtype
 
+    # Sort ROIs by y1 so each 8-ROI tile is spatially coherent: its chunk
+    # support range along the flattened (y, x) axis becomes tight, letting
+    # the kernel skip most chunks.  The output is un-sorted afterwards.
     rois = rois.astype(jnp.float32)
+    order = jnp.argsort(rois[:, 1])                                # (R,)
+    rois = rois[order]
+
     wy = _tap_weights(rois[:, 1], rois[:, 3] - rois[:, 1], h, p)   # (R, P, H)
     wx = _tap_weights(rois[:, 0], rois[:, 2] - rois[:, 0], w, p)   # (R, P, W)
     # (R, Q, *): row weights vary with the output row i -> repeat over j;
@@ -128,21 +145,38 @@ def _forward(features, rois, pool_size, interpret):
     ey = ey.astype(dtype)
     ex = ex.astype(dtype)
 
+    # Per-tile chunk support range (inclusive) along the flattened (y, x)
+    # axis.  A ROI's taps live in rows [y1, y2) of the feature map, i.e.
+    # flat indices [y1*w, y2*w).  Padded slots use (h, 0) so they never
+    # widen a real tile's range; an all-padded tile gets first > last and
+    # the kernel's predicates simply never fire.
+    n_tiles = r_pad // t
+    chunks = _chunks(hwp)
+    y1_pad = jnp.concatenate([rois[:, 1], jnp.full((r_pad - r,), h, jnp.float32)])
+    y2_pad = jnp.concatenate([rois[:, 3], jnp.zeros((r_pad - r,), jnp.float32)])
+    y1_min = jnp.min(y1_pad.reshape(n_tiles, t), axis=1)
+    y2_max = jnp.max(y2_pad.reshape(n_tiles, t), axis=1)
+    first = jnp.clip((y1_min * w) // _K_CHUNK, 0, len(chunks) - 1)
+    last = jnp.clip((y2_max * w - 1) // _K_CHUNK, 0, len(chunks) - 1)
+    ranges = jnp.stack([first, last], axis=1).astype(jnp.int32).reshape(-1)
+
     tq = t * q
-    grid_spec = pl.GridSpec(
-        grid=(r_pad // t,),
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((tq, hp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, hp), lambda i, rs: (i, 0)),
+            pl.BlockSpec((tq, wp), lambda i, rs: (i, 0)),
             # constant blocks: DMA'd once, reused across every grid step
-            pl.BlockSpec((hp, hwp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, hwp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hwp, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hp, hwp), lambda i, rs: (0, 0)),
+            pl.BlockSpec((wp, hwp), lambda i, rs: (0, 0)),
+            pl.BlockSpec((hwp, c), lambda i, rs: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((tq, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((tq, c), lambda i, rs: (i, 0)),
+        scratch_shapes=[pltpu.VMEM((tq, c), jnp.float32)],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, chunks=_chunks(hwp)),
+        functools.partial(_kernel, chunks=chunks),
         out_shape=jax.ShapeDtypeStruct((r_pad * q, c), dtype),
         grid_spec=grid_spec,
         # Under vmap (batched images) the feature-map block index varies with
@@ -151,8 +185,10 @@ def _forward(features, rois, pool_size, interpret):
         # more physical VMEM; raise the cap for this kernel.
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
-    )(wy_rep, wx_rep, ey, ex, f2)
-    return out[: r * q].reshape(r, p, p, c)
+    )(ranges, wy_rep, wx_rep, ey, ex, f2)
+    # un-sort back to the caller's ROI order
+    inv = jnp.argsort(order)
+    return out[: r * q].reshape(r, p, p, c)[inv]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
