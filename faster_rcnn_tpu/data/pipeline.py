@@ -97,7 +97,7 @@ class TrainLoader:
         batch_size: int,
         seed: int = 0,
         prefetch: int = 4,
-        num_workers: int = 4,
+        num_workers: int = 0,  # 0 = auto: min(4, cpu_count)
     ):
         self.cfg = cfg
         self.class_mapping = class_mapping
@@ -107,13 +107,25 @@ class TrainLoader:
         for r in records:
             self.buckets.setdefault(canvas_for(r, cfg), []).append(r)
         self._prefetch = prefetch
+        if num_workers <= 0:
+            import os
+
+            num_workers = min(4, os.cpu_count() or 1)
         self._num_workers = num_workers
 
     def _record_stream(self) -> Iterator[Tuple[Tuple[int, int], List[ImageRecord]]]:
         """Round-robin over epochs; reshuffle each epoch (train_util.py:38-43).
-        Within an epoch, emit full orientation-homogeneous batches."""
+        Emits full orientation-homogeneous batches.
+
+        Partial batches CARRY ACROSS epoch boundaries (the reference's
+        round-robin is likewise continuous).  Resetting them per epoch would
+        starve any orientation bucket smaller than the batch size — and
+        livelock the loader outright when no bucket ever fills (e.g. a tiny
+        dataset with batch_size > len(records)), spinning epochs forever
+        without yielding.
+        """
+        pending: Dict[Tuple[int, int], List[ImageRecord]] = {}
         while True:
-            pending: Dict[Tuple[int, int], List[ImageRecord]] = {}
             order = []
             for canvas, recs in self.buckets.items():
                 idx = self.rng.permutation(len(recs))
@@ -123,15 +135,15 @@ class TrainLoader:
                 pending.setdefault(canvas, []).append(rec)
                 if len(pending[canvas]) == self.batch_size:
                     yield canvas, pending.pop(canvas)
-            # drop ragged tails; the infinite stream makes them irrelevant
 
     def __iter__(self) -> Iterator[Tuple[Tuple[int, int], Dict[str, np.ndarray]]]:
         stream = self._record_stream()
         q: queue.Queue = queue.Queue(maxsize=self._prefetch)
         lock = threading.Lock()
+        stop = threading.Event()
 
         def worker():
-            while True:
+            while not stop.is_set():
                 with lock:
                     try:
                         canvas, recs = next(stream)
@@ -140,10 +152,30 @@ class TrainLoader:
                 batch = _stack(
                     [prepare_example(r, self.class_mapping, self.cfg, canvas) for r in recs]
                 )
-                q.put((canvas, batch))
+                # bounded put that re-checks stop: a plain q.put would block
+                # forever once the consumer goes away, leaking one thread (and
+                # its pinned batch buffers) per abandoned iterator
+                while not stop.is_set():
+                    try:
+                        q.put((canvas, batch), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
-        for _ in range(self._num_workers):
-            threading.Thread(target=worker, daemon=True).start()
-
-        while True:
-            yield q.get()
+        threads = [
+            threading.Thread(target=worker, daemon=True, name="TrainLoader-worker")
+            for _ in range(self._num_workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            # generator close()/GC runs this: workers observe `stop` and exit
+            stop.set()
+            while not q.empty():  # unblock any putter stuck on a full queue
+                try:
+                    q.get_nowait()
+                except queue.Empty:  # pragma: no cover
+                    break

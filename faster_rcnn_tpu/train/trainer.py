@@ -254,6 +254,7 @@ def train_one_step(
 
     for sig, h in prev_handlers.items():
         signal.signal(sig, h)
+    it.close()  # stop the loader's prefetch workers (they'd leak otherwise)
     return TrainResult(
         params=state.params, batch_stats=batch_stats,
         final_metrics={k: float(v) for k, v in metrics.items()},

@@ -1,17 +1,34 @@
 #!/usr/bin/env bash
-# Test runner with one retry for the known XLA:CPU oversubscription abort
-# (NOTES.md: rare bare "Fatal Python error: Aborted" on the 1-core container,
-# not code-correlated).  A genuine test failure is NOT retried.
+# Test runner with retries for the known XLA:CPU oversubscription abort
+# (NOTES.md: bare "Fatal Python error: Aborted" inside a jitted call or a
+# sharded-array fetch on the 1-core container; frequency varies with
+# environment load, from rare to near-every-run).  A genuine test failure is
+# NOT retried.
+#
+# The multi-device module (test_parallel) is where the abort almost always
+# strikes (sharded-array fetches); it runs as its own pytest invocation so a
+# retry costs ~2 minutes instead of a full ~25-minute suite pass.
 set -uo pipefail
 
 PY="${PY:-python}"
 LOG=$(mktemp /tmp/pytest_out.XXXXXX)
 trap 'rm -f "$LOG"' EXIT
 
-"$PY" -m pytest tests/ -x -q -p no:cacheprovider "$@" 2>&1 | tee "$LOG"
-rc=${PIPESTATUS[0]}
-if [ "$rc" -ne 0 ] && grep -q "Fatal Python error: Aborted" "$LOG"; then
-    echo "== retrying once after known XLA:CPU abort flake =="
-    exec "$PY" -m pytest tests/ -x -q -p no:cacheprovider "$@"
-fi
-exit "$rc"
+run_with_retry() {
+    local what="$1"; shift
+    local rc=1
+    for attempt in 1 2 3; do
+        "$PY" -m pytest "$@" -x -q -p no:cacheprovider 2>&1 | tee "$LOG"
+        rc=${PIPESTATUS[0]}
+        [ "$rc" -eq 0 ] && return 0
+        if ! grep -q "Fatal Python error: Aborted" "$LOG"; then
+            return "$rc"   # genuine failure: do not retry
+        fi
+        echo "== $what attempt $attempt hit the known XLA:CPU abort flake; retrying =="
+    done
+    return "$rc"
+}
+
+run_with_retry "main suite" tests/ --ignore=tests/test_parallel.py || exit $?
+run_with_retry "parallel suite" tests/test_parallel.py || exit $?
+echo "== all suites green =="

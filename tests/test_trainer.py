@@ -112,3 +112,23 @@ def test_steps_3_4_handoff(tiny_voc, tmp_path):
     d2 = np.asarray(results[2].params["det_head"]["fc1"]["kernel"])
     d4 = np.asarray(results[4].params["det_head"]["fc1"]["kernel"])
     assert not np.array_equal(d2, d4)
+
+
+def test_multihost_trainer_path(tiny_voc, tmp_path):
+    """train_one_step with multihost=True (single process degenerates to the
+    global-mesh + make_array_from_process_local_data path) runs and
+    checkpoints exactly like the local path.  Uses step 1 (RPN) — the
+    cheapest compile; the multihost plumbing (mesh, record shards, global
+    batch/key assembly) is step-independent, and the sharded joint step is
+    covered by test_parallel.TestMultihost."""
+    cfg = cfg_for_tiny_voc()
+    records, _ = load_dataset(
+        [tiny_voc], "trainval", flip=False,
+        resize_min=cfg.data.resize_min, resize_max=cfg.data.resize_max,
+    )
+    r = train_one_step(
+        1, cfg, records, VOC_CLASS_MAPPING, str(tmp_path / "mh"),
+        batch_size=8, max_steps=2, save_frequency=2, multihost=True,
+    )
+    assert np.isfinite(r.final_metrics["loss"])
+    assert ckpt_lib.latest_step(str(tmp_path / "mh" / "step1")) == 2
