@@ -104,14 +104,23 @@ def bench_inference(batch: int, iters: int) -> None:
     ]
     img_hw = jax.device_put(np.tile([[600, 1500]], (batch, 1)).astype(np.int32))
 
+    import functools
+
     import jax.numpy as jnp
 
+    # Unwrap the (jitted_fn, weights) partial: the weight tree must be a jit
+    # ARGUMENT of the chained step.  Closing over it would embed hundreds of
+    # MB of parameters as constants in the compile request (the VGG variant
+    # exceeds the remote compile service's HTTP body limit outright).
+    assert isinstance(detect, functools.partial)
+    detect_fn, (vs,) = detect.func, detect.args
+
     @jax.jit
-    def chained_step(images_u8, hw):
+    def chained_step(vs, images_u8, hw):
         """One detect iteration whose OUTPUT feeds the next iteration's
         INPUT: the runtime cannot elide/overlap any iteration, and one final
         sync covers the whole chain (see module docstring)."""
-        out = detect(images_u8, hw)
+        out = detect_fn(vs, images_u8, hw)
         cs = jnp.sum(out.scores) + 1e-6 * jnp.sum(
             jnp.clip(out.boxes, -1e9, 1e9)
         )
@@ -124,7 +133,7 @@ def bench_inference(batch: int, iters: int) -> None:
     # warmup + compile
     dev_img = jax.device_put(host_batches[0])
     t0 = time.time()
-    first = jax.block_until_ready(chained_step(dev_img, img_hw))
+    first = jax.block_until_ready(chained_step(vs, dev_img, img_hw))
     compile_s = time.time() - t0
     del first
 
@@ -137,7 +146,7 @@ def bench_inference(batch: int, iters: int) -> None:
     cs_list = []
     x = dev_img
     for _ in range(iters):
-        x, cs = chained_step(x, img_hw)
+        x, cs = chained_step(vs, x, img_hw)
         cs_list.append(cs)
     jax.block_until_ready(x)
     dt = time.time() - t0

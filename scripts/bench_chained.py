@@ -31,9 +31,9 @@ WHAT = sys.argv[1] if len(sys.argv) > 1 else "all"
 N_ITERS = 30
 
 
-def chain_time(name, step, x0, iters=N_ITERS):
+def chain_time(name, step, x0, iters=N_ITERS, jit=True):
     """step: x -> x (data-dependent). Returns per-iteration ms."""
-    f = jax.jit(step)
+    f = jax.jit(step) if jit else step
     x = jax.block_until_ready(f(x0))  # compile + warm
     t0 = time.time()
     x = x0
@@ -125,42 +125,50 @@ def bench_stages():
     img_hw = jax.device_put(np.tile([[600, 1500]], (B, 1)).astype(np.int32))
     vs = jax.device_put(variables)
 
-    def s_backbone(x):
-        feat = model.apply(vs, x, method=FasterRCNN.backbone)
+    # NB: ``vs`` is threaded as a jit ARGUMENT via functools.partial binding
+    # at call time (chain_time jits the closure; a plain closure over vs
+    # would embed the weight tree as compile-request constants)
+    def s_backbone(v, x):
+        feat = model.apply(v, x, method=FasterRCNN.backbone)
         return feedback(x, jnp.sum(feat.astype(jnp.float32)))
 
-    def s_props(x):
+    def s_props(v, x):
         feat, pb, ps, pv = rpn_forward_proposals(
-            cfg, model, vs, x, img_hw, cfg.rpn.infer_pre_nms, cfg.rpn.infer_post_nms
+            cfg, model, v, x, img_hw, cfg.rpn.infer_pre_nms, cfg.rpn.infer_post_nms
         )
         return feedback(x, jnp.sum(pb) + jnp.sum(feat.astype(jnp.float32)))
 
-    def s_align(x):
+    def s_align(v, x):
         feat, pb, ps, pv = rpn_forward_proposals(
-            cfg, model, vs, x, img_hw, cfg.rpn.infer_pre_nms, cfg.rpn.infer_post_nms
+            cfg, model, v, x, img_hw, cfg.rpn.infer_pre_nms, cfg.rpn.infer_post_nms
         )
         pooled = roi_align_batched(feat, pb, cfg.det.pool_size, cfg.det.roi_align_impl)
         return feedback(x, jnp.sum(pooled.astype(jnp.float32)))
 
-    def s_head(x):
+    def s_head(v, x):
         feat, pb, ps, pv = rpn_forward_proposals(
-            cfg, model, vs, x, img_hw, cfg.rpn.infer_pre_nms, cfg.rpn.infer_post_nms
+            cfg, model, v, x, img_hw, cfg.rpn.infer_pre_nms, cfg.rpn.infer_post_nms
         )
         pooled = roi_align_batched(feat, pb, cfg.det.pool_size, cfg.det.roi_align_impl)
-        cls, reg = model.apply(vs, pooled, method=FasterRCNN.det_head)
+        cls, reg = model.apply(v, pooled, method=FasterRCNN.det_head)
         return feedback(x, jnp.sum(cls) + jnp.sum(reg))
 
     detect = make_detect_fn(cfg, model, variables)
+    detect_fn = detect.func
 
-    def s_detect(x):
-        out = detect(x, img_hw)
+    def s_detect(v, x):
+        out = detect_fn(v, x, img_hw)
         return feedback(x, jnp.sum(out.scores) + jnp.sum(out.boxes))
 
-    t1 = chain_time(f"backbone B={B}", s_backbone, img0)
-    t2 = chain_time("+rpn+proposals(topk+NMS)", s_props, img0)
-    t3 = chain_time(f"+roi_align({cfg.det.roi_align_impl})", s_align, img0)
-    t4 = chain_time("+det head", s_head, img0)
-    t5 = chain_time("full detect", s_detect, img0)
+    def with_vs(name, fn):
+        f = jax.jit(fn)
+        return chain_time(name, lambda x: f(vs, x), img0, jit=False)
+
+    t1 = with_vs(f"backbone B={B}", s_backbone)
+    t2 = with_vs("+rpn+proposals(topk+NMS)", s_props)
+    t3 = with_vs(f"+roi_align({cfg.det.roi_align_impl})", s_align)
+    t4 = with_vs("+det head", s_head)
+    t5 = with_vs("full detect", s_detect)
     print(f"\ndeltas ms/batch: rpn+props={t2-t1:.2f} align={t3-t2:.2f} "
           f"head={t4-t3:.2f} decode+nms={t5-t4:.2f}")
     print(f"full detect: {t5/B:.3f} ms/img = {1000*B/t5:.1f} img/s device-side")

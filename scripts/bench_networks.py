@@ -23,27 +23,33 @@ ITERS = 20
 
 
 def bench(network: str):
+    import functools
+
     cfg = voc_config(network)
     model, variables = init_model(jax.random.PRNGKey(0), cfg)
     detect = make_detect_fn(cfg, model, variables)
+    # weights must be jit ARGUMENTS of the chained step: closing over them
+    # embeds them as constants and (for VGG's 400MB fc kernels) exceeds the
+    # remote compile service's request size limit (HTTP 413)
+    detect_fn, (vs,) = detect.func, detect.args
     h, w = cfg.data.canvas
     rng = np.random.RandomState(0)
     img0 = jax.device_put(rng.standard_normal((B, h, w, 3)).astype(np.float32) * 30)
     img_hw = jax.device_put(np.tile([[600, 1000]], (B, 1)).astype(np.int32))
 
     @jax.jit
-    def step(x):
-        out = detect(x, img_hw)
+    def step(vs, x):
+        out = detect_fn(vs, x, img_hw)
         cs = jnp.sum(out.scores) + 1e-6 * jnp.sum(jnp.clip(out.boxes, -1e9, 1e9))
         return (x.astype(jnp.float32) + 1e-30 * cs).astype(x.dtype)
 
     t0 = time.time()
-    x = jax.block_until_ready(step(img0))
+    x = jax.block_until_ready(step(vs, img0))
     compile_s = time.time() - t0
     t0 = time.time()
     x = img0
     for _ in range(ITERS):
-        x = step(x)
+        x = step(vs, x)
     jax.block_until_ready(x)
     dt = (time.time() - t0) / ITERS
     ms_img = dt / B * 1000
