@@ -156,11 +156,8 @@ def bench_inference(batch: int, iters: int) -> None:
     jax.block_until_ready(jax.device_put(host_batches[0]))
     h2d_ms = (time.time() - t0) * 1000
 
-    flops = 0.0
     try:
-        import functools
-        if isinstance(detect, functools.partial):
-            flops = compiled_flops(detect.func, detect.args[0], dev_img, img_hw)
+        flops = compiled_flops(detect_fn, vs, dev_img, img_hw)
     except Exception:
         flops = 0.0
 
