@@ -146,3 +146,91 @@ def jax_to_py(tree):
     if hasattr(tree, "items"):
         return {k: jax_to_py(v) for k, v in tree.items()}
     return np.asarray(tree)
+
+
+def save_keras_h5(
+    params: Dict,
+    batch_stats: Optional[Dict],
+    h5_path: str,
+) -> List[str]:
+    """Write (params, batch_stats) as a Keras 2.0.8 weights-only h5.
+
+    The inverse of :func:`load_keras_h5`: produces the layout Keras
+    ``model.save_weights`` emits (root ``layer_names`` attr, per-layer
+    ``weight_names`` with ``<layer>/<weight>:0`` datasets) so weights
+    trained in this framework can be handed BACK to the reference's
+    ``by_name`` loaders (vgg.py:191-195, resnet.py:481-485,
+    train_rpn_step3.py:92-93).
+
+    Leaf-module mapping (mirrors the import maps):
+      * modules with a ``kernel`` leaf -> conv/dense: kernel(+bias);
+      * modules with a ``scale`` leaf -> BatchNorm/Scale: gamma=scale,
+        beta=bias, plus moving_mean/moving_variance when the module also
+        appears in ``batch_stats`` (FrozenBatchNorm; ChannelScale has none).
+
+    Returns the written layer names.  Raises on duplicate module names
+    (Keras layer names must be unique).
+    """
+    import h5py
+
+    params = jax_to_py(params)
+    batch_stats = jax_to_py(batch_stats or {})
+
+    def group_by_module(tree):
+        modules: Dict[str, Dict[str, np.ndarray]] = {}
+        for path, val in _walk(tree):
+            if len(path) < 2:
+                continue
+            modules.setdefault(path[-2], {})[path[-1]] = np.asarray(val)
+        return modules
+
+    def count_modules(tree):
+        names = [path[-2] for path, _ in _walk(tree) if len(path) >= 2]
+        return names
+
+    pmods = group_by_module(params)
+    smods = group_by_module(batch_stats)
+    # uniqueness check: every leaf module name must map to ONE module
+    seen = {}
+    for path, _ in _walk(params):
+        if len(path) < 2:
+            continue
+        prefix, mod = path[:-1], path[-2]
+        if mod in seen and seen[mod] != prefix:
+            raise ValueError(
+                f"save_keras_h5: duplicate module name {mod!r} at {seen[mod]} "
+                f"and {prefix} — Keras layer names must be unique"
+            )
+        seen[mod] = prefix
+
+    written = []
+    with h5py.File(h5_path, "w") as f:
+        for lname, leaves in pmods.items():
+            g = f.create_group(lname)
+            wnames = []
+
+            def put(keras_short, arr):
+                wn = f"{lname}/{keras_short}:0"
+                g.create_dataset(wn, data=np.asarray(arr, np.float32))
+                wnames.append(wn.encode())
+
+            if "kernel" in leaves:
+                put("kernel", leaves["kernel"])
+                if "bias" in leaves:
+                    put("bias", leaves["bias"])
+            elif "scale" in leaves:
+                put("gamma", leaves["scale"])
+                if "bias" in leaves:
+                    put("beta", leaves["bias"])
+                stats = smods.get(lname, {})
+                if "mean" in stats and "var" in stats:
+                    put("moving_mean", stats["mean"])
+                    put("moving_variance", stats["var"])
+            else:
+                continue  # no recognizable weights
+            g.attrs["weight_names"] = wnames
+            written.append(lname)
+        f.attrs["layer_names"] = [n.encode() for n in written]
+        f.attrs["backend"] = b"tensorflow"
+        f.attrs["keras_version"] = b"2.0.8"
+    return written

@@ -269,3 +269,49 @@ def test_keras_by_name_contract_full_resnet50():
 
 if __name__ == "__main__":
     print("GOLDEN_FORWARD =", _transplanted_forward_outputs())
+
+
+def test_keras_h5_export_round_trip():
+    """save_keras_h5 writes the exact reference layer set and load_keras_h5
+    reproduces the original tree from it — the inter-framework weight
+    contract works in BOTH directions."""
+    import tempfile
+
+    from faster_rcnn_tpu.models.detector import init_model
+    from faster_rcnn_tpu.utils.keras_import import (
+        jax_to_py, load_keras_h5, save_keras_h5,
+    )
+
+    cfg = small_r50_cfg()
+    _, variables = init_model(jax.random.PRNGKey(0), cfg)
+    params = jax_to_py(variables["params"])
+    stats = jax_to_py(variables.get("batch_stats", {}))
+
+    with tempfile.NamedTemporaryFile(suffix=".h5", delete=False) as tmp:
+        path = tmp.name
+    try:
+        written = save_keras_h5(params, stats, path)
+        expected = {n for n, _ in reference_resnet50_layer_names()}
+        assert expected <= set(written), sorted(expected - set(written))
+
+        _, fresh = init_model(jax.random.PRNGKey(99), cfg)
+        p2, s2, loaded = load_keras_h5(
+            path, jax_to_py(fresh["params"]), jax_to_py(fresh.get("batch_stats", {}))
+        )
+        assert expected <= set(loaded)
+
+        def flat(t, pre=()):
+            for k, v in t.items():
+                if isinstance(v, dict):
+                    yield from flat(v, pre + (k,))
+                else:
+                    yield pre + (k,), v
+
+        orig = dict(flat(params))
+        got = dict(flat(p2))
+        for path_k, val in orig.items():
+            np.testing.assert_array_equal(got[path_k], val, err_msg=str(path_k))
+        for path_k, val in dict(flat(stats)).items():
+            np.testing.assert_array_equal(dict(flat(s2))[path_k], val, err_msg=str(path_k))
+    finally:
+        os.unlink(path)
