@@ -1,11 +1,12 @@
 """Full-system validation through the real CLIs on synthetic data.
 
-Generates a small VOC-format dataset of bright rectangles, trains the joint
-model from scratch on TPU via cli.train, produces detections via cli.detect,
-and scores them via the VOC evaluator — the complete user workflow with a
-quantitative mAP result.
+Generates a small VOC-format dataset of bright rectangles, trains from
+scratch on TPU via cli.train (single-pass "joint" mode by default, or the
+reference's 4-step alternating scheme with mode=all), produces detections
+via cli.detect, and scores them via the VOC evaluator — the complete user
+workflow with a quantitative mAP result.
 
-    python scripts/synthetic_e2e.py [workdir]
+    python scripts/synthetic_e2e.py [workdir] [joint|all]
 """
 
 import os
@@ -55,6 +56,7 @@ def make_dataset(root, n_images=32, size=320, seed=0):
 
 def main():
     base = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_e2e"
+    mode = sys.argv[2] if len(sys.argv) > 2 else "joint"
     data = os.path.join(base, "VOC")
     workdir = os.path.join(base, "work")
     dets = os.path.join(base, "dets")
@@ -71,12 +73,14 @@ def main():
     from faster_rcnn_tpu.evaluate import eval_all
 
     train_cli.main(common + [
-        "--step", "joint", "--phases", "400:3e-3,200:3e-4", "--batch_size", "8",
+        "--step", "joint" if mode == "joint" else "1,2,3,4",
+        "--phases", "400:3e-3,200:3e-4", "--batch_size", "8",
         "--clip_grad_norm", "10", "--freeze_blocks", "none",
         "--workdir", workdir, "--save_frequency", "200", "--no-flip",
     ])
     detect_cli.main(common + [
-        "--workdir", workdir, "--from_step", "joint", "--out_dir", dets,
+        "--workdir", workdir, "--from_step", "joint" if mode == "joint" else "4",
+        "--out_dir", dets,
         "--batch_size", "8", "--det_threshold", "0.1",
     ])
     aps = eval_all(dets, data, VOC_CLASS_MAPPING, img_set="trainval", verbose=False)
