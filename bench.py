@@ -273,7 +273,8 @@ def main():
         die(f"unknown bench selector {only!r} (use: all | train | infer)")
 
     if only in ("all", "train"):
-        bench_training(batch=8, iters=max(6, iters // 3))
+        # batch 16 > 8 for the train step (143 vs 135 img/s measured)
+        bench_training(batch=16, iters=max(6, iters // 3))
     if only in ("all", "infer"):
         bench_inference(batch, iters)
 

@@ -95,11 +95,9 @@ def bench_align():
         rng.standard_normal((B, H, W, C)).astype(np.float32)
     ).astype(jnp.bfloat16)
     x1 = rng.randint(0, W - 2, (B, R)); y1 = rng.randint(0, H - 2, (B, R))
-    x2 = np.minimum(x1 + rng.randint(1, 40, (B, R)), W - 1)
-    y2 = np.minimum(y1 + rng.randint(1, 20, (B, R)), H - 1)
-    rois = jax.device_put(np.stack(
-        [x1, np.minimum(y1, y2 - 1) * 0 + y1, np.maximum(x2, x1 + 1),
-         np.maximum(y2, y1 + 1)], -1).astype(np.float32))
+    x2 = np.maximum(np.minimum(x1 + rng.randint(1, 40, (B, R)), W - 1), x1 + 1)
+    y2 = np.maximum(np.minimum(y1 + rng.randint(1, 20, (B, R)), H - 1), y1 + 1)
+    rois = jax.device_put(np.stack([x1, y1, x2, y2], -1).astype(np.float32))
 
     for impl in ("gather", "einsum", "pallas"):
         def step(f, impl=impl):
