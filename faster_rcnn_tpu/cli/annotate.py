@@ -52,7 +52,9 @@ def main(argv=None):
     model, variables = init_model(jax.random.PRNGKey(0), cfg)
     params = _load_step_params(args.workdir, args.from_step, variables["params"])
     variables = {"params": params, "batch_stats": variables.get("batch_stats", {})}
-    detect = make_detect_fn(cfg, model, variables)
+    # uint8 serving config: raw RGB canvases over the wire, preprocess on
+    # device (4x less H2D — same path as cli/detect and bench.py)
+    detect = make_detect_fn(cfg, model, variables, uint8_input=True)
 
     os.makedirs(args.output_dir, exist_ok=True)
     frames = sorted(
@@ -65,7 +67,7 @@ def main(argv=None):
             w, h = im.width, im.height
             rec = ImageRecord(os.path.basename(path), w, h, [], path)
             rec, ratio = rec.resize_within_bounds(cfg.data.resize_min, cfg.data.resize_max)
-            ex = prepare_example(rec, class_mapping, cfg)
+            ex = prepare_example(rec, class_mapping, cfg, uint8=True)
             dets = detect(ex["image"][None], ex["img_hw"][None])
             recs = detections_to_records(dets, [ratio], class_names)[0]
 

@@ -57,6 +57,12 @@ def add_common_args(p: argparse.ArgumentParser, training: bool = True) -> None:
                        help="multi-process training: global mesh over all "
                             "hosts' devices, per-host dataset shards "
                             "(parallel/multihost.py); batch_size is global")
+        p.add_argument("--uint8_pipeline", action="store_true", default=True,
+                       help="ship raw uint8 RGB canvases to the device and "
+                            "preprocess there (4x less H2D; default)")
+        p.add_argument("--no-uint8_pipeline", dest="uint8_pipeline",
+                       action="store_false",
+                       help="ship host-preprocessed float32 canvases instead")
 
 
 def _round_up(x: int, m: int = 32) -> int:

@@ -33,6 +33,10 @@ def main(argv=None):
     p.add_argument("--out_dir", default="./dets")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--det_threshold", type=float, default=0.0)
+    p.add_argument("--uint8_pipeline", action="store_true", default=True,
+                   help="ship raw uint8 RGB canvases; preprocess on device "
+                        "(4x less H2D — the production serving config; default)")
+    p.add_argument("--no-uint8_pipeline", dest="uint8_pipeline", action="store_false")
     args = p.parse_args(argv)
 
     cfg = config_from_args(args)
@@ -59,7 +63,9 @@ def main(argv=None):
             cfg_c = cfg.replace(
                 data=dataclasses.replace(cfg.data, canvas_h=canvas[0], canvas_w=canvas[1])
             )
-            detect_fns[canvas] = make_detect_fn(cfg_c, model, variables)
+            detect_fns[canvas] = make_detect_fn(
+                cfg_c, model, variables, uint8_input=args.uint8_pipeline
+            )
         return detect_fns[canvas]
 
     # bucket by canvas, batch, run
@@ -76,7 +82,8 @@ def main(argv=None):
         for i in range(0, len(items), b):
             chunk = items[i : i + b]
             pad = b - len(chunk)
-            exs = [prepare_example(r, class_mapping, cfg, canvas) for r, _ in chunk]
+            exs = [prepare_example(r, class_mapping, cfg, canvas,
+                                   uint8=args.uint8_pipeline) for r, _ in chunk]
             exs += [exs[-1]] * pad
             images = np.stack([e["image"] for e in exs])
             hw = np.stack([e["img_hw"] for e in exs])

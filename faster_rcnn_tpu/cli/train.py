@@ -25,6 +25,13 @@ def main(argv=None):
                         "(single-pass approximate-joint training)")
     args = p.parse_args(argv)
 
+    if getattr(args, "multihost", False):
+        # MUST precede every JAX call in the process (backend init freezes
+        # the process topology) — so it comes before config/model/data work.
+        from faster_rcnn_tpu.parallel.multihost import maybe_initialize
+
+        maybe_initialize(require=True)
+
     cfg = config_from_args(args)
     class_mapping = class_mapping_from_args(args)
     records, _ = load_dataset(
@@ -46,6 +53,7 @@ def main(argv=None):
         cfg, records, class_mapping, args.workdir, steps=steps,
         batch_size=args.batch_size, save_frequency=args.save_frequency,
         seed=args.seed, multihost=args.multihost,
+        uint8_pipeline=args.uint8_pipeline,
     )
     for s, r in results.items():
         print(f"step {s} final metrics: {r.final_metrics}")

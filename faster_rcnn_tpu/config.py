@@ -95,8 +95,10 @@ class DetConfig:
     # RoI-align implementation: 'pallas' (fused MXU kernel, VMEM-resident
     # feature map — 1.13 ms/300 ROIs on v5e vs einsum 1.88 / gather 2.62,
     # NOTES.md round 2), 'einsum' (separable-bilinear matmuls), or 'gather'
-    # (4-tap HBM gathers).  On non-TPU backends 'pallas' runs the interpreter
-    # (exact, slow) — tests that don't target the kernel pin 'einsum'.
+    # (4-tap HBM gathers).  Off-TPU, 'pallas' automatically routes to the
+    # einsum path (identical numerics via the shared _tap_weights), so the
+    # default is safe on every backend; 'pallas_interpret' forces the Pallas
+    # interpreter for kernel-exactness tests.
     roi_align_impl: str = "pallas"
 
 

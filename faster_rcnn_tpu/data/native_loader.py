@@ -59,6 +59,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.frcnn_load_image_u8.restype = ctypes.c_int
+        lib.frcnn_load_image_u8.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -84,6 +90,31 @@ def load_canvas_native(
     rc = lib.frcnn_load_image(
         path.encode(),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        canvas_h, canvas_w, target_h, target_w, int(flip),
+    )
+    if rc != 0:
+        return None
+    return out
+
+
+def load_canvas_native_u8(
+    path: str,
+    canvas_h: int,
+    canvas_w: int,
+    target_h: int,
+    target_w: int,
+    flip: bool = False,
+) -> Optional[np.ndarray]:
+    """Native decode+resize+flip+pad -> (canvas_h, canvas_w, 3) RAW RGB uint8
+    canvas (no preprocessing — that runs on device; see
+    train/pipeline.ingest_images).  None if unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None or not path.lower().endswith((".jpg", ".jpeg")):
+        return None
+    out = np.empty((canvas_h, canvas_w, 3), np.uint8)
+    rc = lib.frcnn_load_image_u8(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         canvas_h, canvas_w, target_h, target_w, int(flip),
     )
     if rc != 0:

@@ -42,23 +42,37 @@ def prepare_example(
     class_mapping: Dict[str, int],
     cfg: FasterRcnnConfig,
     canvas: Optional[Tuple[int, int]] = None,
+    uint8: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Decode + preprocess one image into fixed-shape arrays.
 
     Uses the native C++ pipeline (decode+resize+flip+preprocess+pad in one
-    GIL-free call, data/native_loader.py) when available, else PIL."""
-    from faster_rcnn_tpu.data.native_loader import load_canvas_native
+    GIL-free call, data/native_loader.py) when available, else PIL.
+
+    ``uint8=True`` ships the RAW resized RGB canvas as uint8 — 4x less
+    host->device traffic; the BGR flip + mean subtraction then happens on
+    device (train/pipeline.ingest_images / make_detect_fn uint8_input)."""
+    from faster_rcnn_tpu.data.native_loader import load_canvas_native, load_canvas_native_u8
 
     ch, cw = canvas or canvas_for(record, cfg)
     h, w = record.height, record.width
     if h > ch or w > cw:
         raise ValueError(f"image {record.name} ({h}x{w}) exceeds canvas ({ch}x{cw})")
 
-    img = load_canvas_native(record.image_path, ch, cw, h, w, record.flipped)
+    native = load_canvas_native_u8 if uint8 else load_canvas_native
+    img = native(record.image_path, ch, cw, h, w, record.flipped)
     if img is None:
         pixels = record.load_pixels()
-        img = np.zeros((ch, cw, 3), np.float32)
-        img[:h, :w] = preprocess_rgb(pixels)
+        if uint8:
+            # pad with the mean RGB pixel: device-side mean subtraction then
+            # maps padding to ~0, matching the float path's post-preprocess
+            # zero canvas
+            img = np.empty((ch, cw, 3), np.uint8)
+            img[:] = np.array([124, 117, 104], np.uint8)
+            img[:h, :w] = np.clip(np.round(pixels), 0, 255).astype(np.uint8)
+        else:
+            img = np.zeros((ch, cw, 3), np.float32)
+            img[:h, :w] = preprocess_rgb(pixels)
 
     g = cfg.data.max_gt_boxes
     gt_boxes = np.zeros((g, 4), np.float32)
@@ -98,10 +112,12 @@ class TrainLoader:
         seed: int = 0,
         prefetch: int = 4,
         num_workers: int = 0,  # 0 = auto: min(4, cpu_count)
+        uint8: bool = False,
     ):
         self.cfg = cfg
         self.class_mapping = class_mapping
         self.batch_size = batch_size
+        self.uint8 = uint8
         self.rng = np.random.RandomState(seed)
         self.buckets: Dict[Tuple[int, int], List[ImageRecord]] = {}
         for r in records:
@@ -150,7 +166,8 @@ class TrainLoader:
                     except StopIteration:  # pragma: no cover - infinite stream
                         return
                 batch = _stack(
-                    [prepare_example(r, self.class_mapping, self.cfg, canvas) for r in recs]
+                    [prepare_example(r, self.class_mapping, self.cfg, canvas,
+                                     uint8=self.uint8) for r in recs]
                 )
                 # bounded put that re-checks stop: a plain q.put would block
                 # forever once the consumer goes away, leaking one thread (and

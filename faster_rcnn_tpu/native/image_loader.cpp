@@ -161,6 +161,48 @@ int frcnn_load_image(const char* path, float* out, int canvas_h, int canvas_w,
   return 0;
 }
 
+// Like frcnn_load_image but emits the RAW resized RGB canvas as uint8 (no
+// BGR flip / mean subtraction) — the wire format of the uint8 serving and
+// training pipelines: 4x less host->device traffic, preprocessing happens on
+// device (train/pipeline.py ingest_images, inference.make_detect_fn
+// uint8_input).  Bicubic ringing is clamped into [0, 255]; values round to
+// nearest so the device-side float path sees at most +-0.5 quantization.
+int frcnn_load_image_u8(const char* path, uint8_t* out, int canvas_h,
+                        int canvas_w, int target_h, int target_w, int flip) {
+  if (target_h > canvas_h || target_w > canvas_w) return 2;
+
+  std::vector<uint8_t> rgb;
+  int sw = 0, sh = 0;
+  if (!decode_jpeg(path, &rgb, &sw, &sh)) return 1;
+
+  std::vector<float> resized(static_cast<size_t>(target_h) * target_w * 3);
+  resize_bicubic(rgb.data(), sw, sh, resized.data(), target_w, target_h);
+
+  // Pad with the mean RGB pixel so the device-side mean subtraction maps
+  // padding to ~0 — matching the float path, whose canvas is zeroed AFTER
+  // preprocessing.  (Zero-padding raw uint8 would make the backbone see
+  // -mean in the pad and shift edge features.)
+  const uint8_t pad[3] = {124, 117, 104};  // round(kMeansBGR reversed)
+  for (size_t i = 0; i < static_cast<size_t>(canvas_h) * canvas_w; ++i) {
+    out[i * 3 + 0] = pad[0];
+    out[i * 3 + 1] = pad[1];
+    out[i * 3 + 2] = pad[2];
+  }
+  for (int y = 0; y < target_h; ++y) {
+    const float* srow = resized.data() + static_cast<size_t>(y) * target_w * 3;
+    uint8_t* drow = out + (static_cast<size_t>(y) * canvas_w) * 3;
+    for (int x = 0; x < target_w; ++x) {
+      int sxp = flip ? (target_w - 1 - x) : x;
+      for (int c = 0; c < 3; ++c) {
+        float v = srow[sxp * 3 + c];
+        v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+        drow[x * 3 + c] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+  return 0;
+}
+
 // Raw decode only (for probing / tests): writes RGB8 into out (must be
 // preallocated w*h*3; call with out=null to query dims). Returns 0 on
 // success, 1 decode failure, 3 buffer mismatch.

@@ -1,21 +1,25 @@
-"""Pallas TPU bitonic sort: score-descending top-k for proposal truncation.
+"""Pallas TPU bitonic sort: score-descending top-k (native top_k drop-in).
 
-The proposal pipeline's prescore truncation (top-12000/8000 by objectness,
-det_util.py:71-75/153-156) is the single hottest op left in the fused detect
-program: XLA's ``lax.top_k`` / ``lax.sort`` over the ~64k anchor scores costs
-~2 ms/image on v5e REGARDLESS of k (measured: top_k(64k->512) 1.90 ms/img,
-top_k(64k->8000) 2.25 ms/img) — over 100x off the VPU roofline for 256 KB of
-data.
+Covers the proposal pipeline's prescore truncation (top-12000/8000 by
+objectness, det_util.py:71-75/153-156).  History: naive per-iteration timing
+once blamed XLA's ``lax.top_k`` for ~2 ms/image here, but that number was a
+tunnel-RTT measurement artifact — the data-chained re-measurement (NOTES.md
+round 2, "the tunnel lies two ways") puts the real cost at **0.124 ms/img
+for XLA top_k vs 0.135 ms/img for this kernel** at 64k scores on v5e.  XLA
+therefore remains the production default in ops/proposals.py; this kernel is
+kept as the tested, bit-identical native drop-in (and as the reference
+implementation of a VPU sorting network for future shapes where XLA's sort
+does regress).
 
-This kernel sorts the whole padded score vector with a classic bitonic
+The kernel sorts the whole padded score vector with a classic bitonic
 network laid out on the VPU: scores live as one (N/128, 128) f32 VMEM tile;
 a compare-exchange at XOR-distance d is two ``pltpu.roll``s (up/down) plus a
 select, on sublanes for d >= 128 and on lanes for d < 128.  The full network
 is log2(N)*(log2(N)+1)/2 = 136 stages at N=65536, each a handful of vector
-ops over the tile — tens of microseconds instead of milliseconds.  The
-original element index rides along as an int32 payload, with ties broken by
-ascending index so results are bit-identical to ``jax.lax.top_k`` (which is
-stable) for any key vector, including the -inf padding rows.
+ops over the tile.  The original element index rides along as an int32
+payload, with ties broken by ascending index so results are bit-identical to
+``jax.lax.top_k`` (which is stable) for any key vector, including the -inf
+padding rows.
 
 No gradient: callers (proposal generation) consume it under stop_gradient.
 """
@@ -130,10 +134,13 @@ def sort_descending_pallas(scores: jax.Array, interpret: bool = False):
 def topk_sorted_pallas(scores: jax.Array, k: int, interpret: bool = False):
     """Drop-in for ``jax.lax.top_k`` on f32 scores (values, indices).
 
-    Exact and bit-identical to top_k including tie order.  Indices of -inf
-    padding slots may exceed the input length only when every real element
-    is -inf (all masked); callers already treat scores <= NEG_INF/2 as
-    invalid (ops/proposals.py).
+    Exact and bit-identical to top_k including tie order.  The returned
+    indices are always < len(scores): a padding slot (index >= n, key -inf)
+    can never outrank a real element — real keys are >= -inf, and on an
+    exact -inf tie the ascending-index tie-break puts every real index
+    before every padding index.  (A previous revision clamped idx with
+    jnp.minimum "just in case", which could only have *introduced*
+    duplicate indices; the invariant above makes it dead code.)
     """
     vals, idx = sort_descending_pallas(scores, interpret=interpret)
-    return vals[:k], jnp.minimum(idx[:k], scores.shape[0] - 1)
+    return vals[:k], idx[:k]

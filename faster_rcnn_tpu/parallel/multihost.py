@@ -31,24 +31,68 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_initialize(require: bool = False) -> bool:
-    """Initialize jax.distributed when running multi-process.
+    """Initialize jax.distributed from the environment.
 
-    Returns True if the distributed runtime is (already) initialized.  Safe
-    to call unconditionally: without coordinator configuration
-    (JAX_COORDINATOR_ADDRESS / cloud TPU metadata) and ``require=False`` it
-    leaves single-process mode untouched.
+    MUST run before anything touches a JAX backend (``jax.devices()``,
+    ``jax.process_count()``, any eager op) — ``jax.distributed.initialize``
+    refuses to run afterwards.  The CLI therefore calls this at the very top
+    of ``main`` when ``--multihost`` is passed.  Configuration is the env
+    triple
+
+        JAX_COORDINATOR_ADDRESS   host:port of process 0
+        JAX_NUM_PROCESSES         total process count
+        JAX_PROCESS_ID            this process's id
+
+    (exactly the kwargs of ``jax.distributed.initialize``); managed TPU-pod
+    launchers that publish their own cluster metadata need none of them.
+
+    ``require=True`` (the CLI's ``--multihost``) hard-fails on a missing or
+    broken configuration instead of silently degenerating to N independent
+    single-process trainers that would each consume the full dataset and
+    fight over one checkpoint directory.  Without ``require`` and without a
+    coordinator address this is a no-op that never initializes a backend,
+    which is how the single-process CI suite exercises the module.
     """
-    if jax.process_count() > 1:
-        return True  # already initialized by the launcher
-    want = require or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if not want:
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coord and not require:
         return False
+    kwargs = {}
+    if coord:
+        try:
+            kwargs = dict(
+                coordinator_address=coord,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        except KeyError as e:
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS is set but the companion variable "
+                f"{e.args[0]} is not; set JAX_NUM_PROCESSES and JAX_PROCESS_ID too"
+            ) from e
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         return True
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process without coordinator
-        return jax.process_count() > 1
+    except Exception as e:  # raised for double-init, late init, or no cluster
+        already = "already initialized" in str(e).lower()
+        if already or (_backend_initialized() and jax.process_count() > 1):
+            return True  # launcher / an earlier call did the work
+        if require:
+            raise RuntimeError(
+                "--multihost requested but jax.distributed could not be "
+                "initialized. Set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / "
+                "JAX_PROCESS_ID (or run under a TPU pod launcher), and make "
+                "sure maybe_initialize() runs before any other JAX call. "
+                f"Original error: {e}"
+            ) from e
+        return False
+
+
+def _backend_initialized() -> bool:
+    """True if some JAX backend has already been created (safe, no side effects)."""
+    try:
+        return jax._src.xla_bridge._backends != {}  # noqa: SLF001
+    except Exception:
+        return True  # conservatively assume yes; caller only gates a re-check
 
 
 def global_mesh(model: int = 1) -> Mesh:

@@ -16,7 +16,10 @@ Where the reference crosses the host<->device boundary 2-3x per iteration
             reusing the in-graph feature map).
 
 Batch layout (all static shapes; B shards over the 'data' mesh axis):
-  image:    (B, Hc, Wc, 3) float32, preprocessed pixels on the padded canvas
+  image:    (B, Hc, Wc, 3) — either float32 preprocessed pixels on the padded
+            canvas, or raw RGB uint8 canvases (4x less host->device traffic;
+            the BGR flip + ImageNet mean subtraction then runs on device —
+            see ``ingest_images``; jit specializes per input dtype)
   gt_boxes: (B, G, 4) float32, resized-image coords
   gt_class: (B, G) int32
   gt_valid: (B, G) bool
@@ -46,6 +49,20 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jax.Array
+
+
+def ingest_images(images: jax.Array) -> jax.Array:
+    """Device-side image ingest: raw uint8 RGB canvases are preprocessed on
+    device (RGB->BGR + ImageNet mean subtraction, matching
+    models.detector.preprocess_rgb / inference.make_detect_fn uint8_input);
+    float32 batches are assumed already preprocessed on the host and pass
+    through.  Dtype is static under jit, so each pipeline variant compiles
+    its own specialization — no config knob needed."""
+    if images.dtype == jnp.uint8:
+        from faster_rcnn_tpu.models.detector import IMAGENET_BGR_MEANS
+
+        return images[..., ::-1].astype(jnp.float32) - jnp.asarray(IMAGENET_BGR_MEANS)
+    return images
 
 
 class Constants(NamedTuple):
@@ -104,7 +121,7 @@ def make_rpn_train_step(cfg: FasterRcnnConfig, model: FasterRCNN, tx: optax.Grad
 
     def loss_fn(params, batch, keys):
         variables = {"params": params, "batch_stats": batch_stats}
-        feat = model.apply(variables, batch["image"], method=FasterRCNN.backbone)
+        feat = model.apply(variables, ingest_images(batch["image"]), method=FasterRCNN.backbone)
         cls_logits, bbreg = model.apply(variables, feat, method=FasterRCNN.rpn)
 
         l_cls, l_reg = jax.vmap(
@@ -212,8 +229,9 @@ def make_det_train_step(
     pre, post = cfg.rpn.train_pre_nms, cfg.rpn.train_post_nms
 
     def loss_fn(params, batch, keys, rpn_vars):
+        images = ingest_images(batch["image"])
         feat_rpn, pboxes, _, pvalid = rpn_forward_proposals(
-            cfg, model, rpn_vars, batch["image"], batch["img_hw"], pre, post
+            cfg, model, rpn_vars, images, batch["img_hw"], pre, post
         )
         pboxes = jax.lax.stop_gradient(pboxes)
 
@@ -225,7 +243,7 @@ def make_det_train_step(
         if heads_only:
             pooled_src = jax.lax.stop_gradient(feat_rpn)
         else:
-            pooled_src = model.apply(variables, batch["image"], method=FasterRCNN.backbone)
+            pooled_src = model.apply(variables, images, method=FasterRCNN.backbone)
 
         pooled = roi_align_batched(
             pooled_src, rois64, cfg.det.pool_size, impl=cfg.det.roi_align_impl
@@ -290,7 +308,7 @@ def make_joint_train_step(
 
     def loss_fn(params, batch, keys):
         variables = {"params": params, "batch_stats": batch_stats}
-        feat = model.apply(variables, batch["image"], method=FasterRCNN.backbone)
+        feat = model.apply(variables, ingest_images(batch["image"]), method=FasterRCNN.backbone)
         cls_logits, bbreg = model.apply(variables, feat, method=FasterRCNN.rpn)
 
         # RPN losses

@@ -89,6 +89,7 @@ def train_one_step(
     seed: int = 0,
     devices=None,
     multihost: bool = False,
+    uint8_pipeline: bool = False,
 ) -> TrainResult:
     """Run one of the 4 training steps to completion (with auto-resume).
 
@@ -101,6 +102,10 @@ def train_one_step(
         global batch from per-host dataset shards (parallel/multihost.py).
         ``batch_size`` stays the GLOBAL batch.  With one process this is
         behaviorally identical to the local mesh path.
+      uint8_pipeline: ship raw uint8 RGB canvases and preprocess on device
+        (4x less host->device traffic; train/pipeline.ingest_images).  The
+        CLI default; off here so library callers / goldens keep exact
+        float-path numerics.
     """
     is_rpn_step = step in (1, 3) or step == "joint"
     batch_size = batch_size or cfg.train.batch_size
@@ -171,16 +176,29 @@ def train_one_step(
         from faster_rcnn_tpu.parallel import multihost as mh
 
         mh.maybe_initialize()
+        if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+            # a coordinator is configured but distributed init never happened
+            # (it must run before ANY JAX call — init_model above already
+            # compiled).  Degenerating silently would train N independent
+            # copies; fail loudly instead.  The CLI initializes at the top of
+            # main, before any JAX use (cli/train.py).
+            raise RuntimeError(
+                "JAX_COORDINATOR_ADDRESS is set but jax.distributed is not "
+                "initialized; call parallel.multihost.maybe_initialize() "
+                "before any JAX computation (the train CLI does this)."
+            )
         the_mesh = mh.global_mesh()
         local_bs = mh.local_batch_size(batch_size)
         records = mh.shard_records_for_host(records)
-        loader = TrainLoader(records, class_mapping, cfg, local_bs, seed=seed)
+        loader = TrainLoader(records, class_mapping, cfg, local_bs, seed=seed,
+                             uint8=uint8_pipeline)
     else:
         avail = list(devices) if devices else jax.devices()
         n_data = min(len(avail), batch_size)
         use_mesh = n_data > 1 and batch_size % n_data == 0
         the_mesh = mesh_lib.create_mesh(devices=avail[:n_data]) if use_mesh else None
-        loader = TrainLoader(records, class_mapping, cfg, batch_size, seed=seed)
+        loader = TrainLoader(records, class_mapping, cfg, batch_size, seed=seed,
+                             uint8=uint8_pipeline)
     it = iter(loader)
     step_id = step if isinstance(step, int) else 5  # "joint"
     key = jax.random.PRNGKey(seed + 1000 * step_id)
@@ -215,46 +233,50 @@ def train_one_step(
 
     metrics = {}
     t0 = time.time()
-    # one-batch transfer lookahead: the H2D of batch i+1 is enqueued right
-    # after step i is dispatched, so it rides the async queue under compute
-    canvas, host_batch = next(it)
-    pending = (canvas, put(host_batch))
-    for i in range(start_iter, total):
-        canvas, batch = pending
-        key, sub = jax.random.split(key)
-        if multihost:
-            from faster_rcnn_tpu.parallel import multihost as mh
+    is_primary = jax.process_index() == 0  # logging host in multihost runs
+    try:
+        # one-batch transfer lookahead: the H2D of batch i+1 is enqueued right
+        # after step i is dispatched, so it rides the async queue under compute
+        canvas, host_batch = next(it)
+        pending = (canvas, put(host_batch))
+        for i in range(start_iter, total):
+            canvas, batch = pending
+            key, sub = jax.random.split(key)
+            if multihost:
+                from faster_rcnn_tpu.parallel import multihost as mh
 
-            keys = mh.global_keys(the_mesh, sub, batch_size)
-        else:
-            keys = jax.random.split(sub, batch_size)
-            if the_mesh is not None:
-                keys = jax.device_put(keys, mesh_lib.batch_sharding(the_mesh))
-        if is_rpn_step:
-            state, metrics = step_fn_for(canvas)(state, batch, keys)
-        else:
-            state, metrics = step_fn_for(canvas)(state, batch, keys, rpn_vs)
-        current["state"], current["iter"] = state, i + 1
-        nxt_canvas, nxt_host = next(it)
-        pending = (nxt_canvas, put(nxt_host))
+                keys = mh.global_keys(the_mesh, sub, batch_size)
+            else:
+                keys = jax.random.split(sub, batch_size)
+                if the_mesh is not None:
+                    keys = jax.device_put(keys, mesh_lib.batch_sharding(the_mesh))
+            if is_rpn_step:
+                state, metrics = step_fn_for(canvas)(state, batch, keys)
+            else:
+                state, metrics = step_fn_for(canvas)(state, batch, keys, rpn_vs)
+            current["state"], current["iter"] = state, i + 1
+            nxt_canvas, nxt_host = next(it)
+            pending = (nxt_canvas, put(nxt_host))
 
-        if (i + 1) % log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
-            rate = (i + 1 - start_iter) * batch_size / (time.time() - t0)
-            print(f"[step {step}] iter {i+1}/{total} {m} ({rate:.2f} img/s)")
-            # structured metrics stream (replaces the reference's raw prints,
-            # SURVEY.md §5.5) — one JSON line per log point
-            os.makedirs(ckpt_dir, exist_ok=True)
-            with open(os.path.join(ckpt_dir, "metrics.jsonl"), "a") as f:
-                import json
+            if (i + 1) % log_every == 0 and is_primary:
+                m = {k: float(v) for k, v in metrics.items()}
+                rate = (i + 1 - start_iter) * batch_size / (time.time() - t0)
+                print(f"[step {step}] iter {i+1}/{total} {m} ({rate:.2f} img/s)")
+                # structured metrics stream (replaces the reference's raw
+                # prints, SURVEY.md §5.5) — one JSON line per log point
+                os.makedirs(ckpt_dir, exist_ok=True)
+                with open(os.path.join(ckpt_dir, "metrics.jsonl"), "a") as f:
+                    import json
 
-                f.write(json.dumps({"iter": i + 1, "img_per_sec": round(rate, 2), **m}) + "\n")
-        if (i + 1) % save_frequency == 0 or (i + 1) == total:
-            ckpt_lib.save(ckpt_dir, i + 1, {"state": state}, wait=(i + 1 == total))
-
-    for sig, h in prev_handlers.items():
-        signal.signal(sig, h)
-    it.close()  # stop the loader's prefetch workers (they'd leak otherwise)
+                    f.write(json.dumps({"iter": i + 1, "img_per_sec": round(rate, 2), **m}) + "\n")
+            if (i + 1) % save_frequency == 0 or (i + 1) == total:
+                # every process calls save: Orbax coordinates internally in
+                # multihost runs (process 0 owns metadata/commit)
+                ckpt_lib.save(ckpt_dir, i + 1, {"state": state}, wait=(i + 1 == total))
+    finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+        it.close()  # stop the loader's prefetch workers (they'd leak otherwise)
     return TrainResult(
         params=state.params, batch_stats=batch_stats,
         final_metrics={k: float(v) for k, v in metrics.items()},

@@ -29,6 +29,6 @@ run_with_retry() {
     return "$rc"
 }
 
-run_with_retry "main suite" tests/ --ignore=tests/test_parallel.py || exit $?
-run_with_retry "parallel suite" tests/test_parallel.py || exit $?
+run_with_retry "main suite" tests/ --ignore=tests/test_parallel.py "$@" || exit $?
+run_with_retry "parallel suite" tests/test_parallel.py "$@" || exit $?
 echo "== all suites green =="

@@ -142,7 +142,7 @@ def test_fixture_transplant_and_forward_golden():
 
 
 # ---------------------------------------------------------------------------
-# Keras by_name layer contract — full ResNet-50 RPN + detector enumeration
+# Keras by_name layer contract — full per-network RPN + detector enumeration
 # ---------------------------------------------------------------------------
 
 def reference_resnet50_layer_names(num_classes=21):
@@ -165,9 +165,57 @@ def reference_resnet50_layer_names(num_classes=21):
     return names
 
 
+def reference_resnet101_layer_names(num_classes=21):
+    """Reference ResNet-101 layer list: Caffe-style ``use_bias=False`` convs,
+    frozen BatchNormalization AND a separate Scale layer per BN, 23 stage-4
+    blocks named a, b1..b22 (resnet.py:551-602 base via conv_block/
+    identity_block separate_scale=True, :605-628 rpn, :631-686 classifier
+    with td stage-5 blocks + dense heads)."""
+    names = [("conv1", "convnb"), ("bn_conv1", "bn"), ("scale_conv1", "scale")]
+    stages = {2: ["a", "b", "c"], 3: ["a", "b1", "b2", "b3"],
+              4: ["a"] + [f"b{i}" for i in range(1, 23)], 5: ["a", "b", "c"]}
+    for stage, blocks in stages.items():
+        for i, b in enumerate(blocks):
+            branches = ["2a", "2b", "2c"] + (["1"] if i == 0 else [])
+            for br in branches:
+                names.append((f"res{stage}{b}_branch{br}", "convnb"))
+                names.append((f"bn{stage}{b}_branch{br}", "bn"))
+                names.append((f"scale{stage}{b}_branch{br}", "scale"))
+    names += [("rpn_conv1", "conv"), ("rpn_out_cls", "conv"), ("rpn_out_bbreg", "conv")]
+    names += [(f"dense_class_{num_classes}", "dense"),
+              (f"dense_reg_{num_classes}", "dense")]
+    return names
+
+
+def reference_vgg16_layer_names(num_classes=21):
+    """Reference VGG16 layer list: 13 ``block{i}_conv{j}`` convs
+    (vgg.py:91-141), the shared RPN head (vgg.py:169-186), and the detector
+    head fc1/fc2 + dense heads (vgg.py:226-255)."""
+    names = []
+    for block, n_convs in ((1, 2), (2, 2), (3, 3), (4, 3), (5, 3)):
+        for conv in range(1, n_convs + 1):
+            names.append((f"block{block}_conv{conv}", "conv"))
+    names += [("rpn_conv1", "conv"), ("rpn_out_cls", "conv"), ("rpn_out_bbreg", "conv")]
+    names += [("fc1", "dense"), ("fc2", "dense"),
+              (f"dense_class_{num_classes}", "dense"),
+              (f"dense_reg_{num_classes}", "dense")]
+    return names
+
+
+REFERENCE_LAYER_LISTS = {
+    "resnet50": reference_resnet50_layer_names,
+    "resnet101": reference_resnet101_layer_names,
+    "vgg16": reference_vgg16_layer_names,
+}
+
+
 def _keras_weight_specs(kind):
     if kind == "bn":
         return ["gamma", "beta", "moving_mean", "moving_variance"]
+    if kind == "scale":
+        return ["gamma", "beta"]
+    if kind == "convnb":  # Caffe-style conv, use_bias=False
+        return ["kernel"]
     return ["kernel", "bias"]
 
 
