@@ -44,8 +44,8 @@ needs_image = pytest.mark.skipif(
 GOLDEN_FORWARD = {"num_valid": 47, "class_sum": 504, "score_sum": 42.902, "box_sum": 23079.1}
 
 
-def small_r50_cfg():
-    """Full ResNet-50 / 21-class / 18-anchor architecture at a small canvas
+def small_net_cfg(network):
+    """Full 21-class / 18-anchor architecture at a small canvas
     (CPU-affordable) — head and weight shapes are canvas-independent.
 
     f32 compute: these tests pin the weight/layout CONTRACT, and bf16 conv
@@ -56,7 +56,7 @@ def small_r50_cfg():
 
     from faster_rcnn_tpu.config import voc_config
 
-    cfg = voc_config("resnet50")
+    cfg = voc_config(network)
     return cfg.replace(
         data=dataclasses.replace(
             cfg.data, canvas_h=224, canvas_w=320, resize_min=224, resize_max=320
@@ -69,6 +69,10 @@ def small_r50_cfg():
             cfg.model, compute_dtype="float32"
         ),
     )
+
+
+def small_r50_cfg():
+    return small_net_cfg("resnet50")
 
 
 @needs_fixture
@@ -234,11 +238,14 @@ def _find_layer_shapes(tree, lname):
     return hits
 
 
-def test_keras_by_name_contract_full_resnet50():
+@pytest.mark.parametrize("network", ["resnet50", "resnet101", "vgg16"])
+def test_keras_by_name_contract_full(network):
     """Synthesize an h5 in the exact Keras 2.0.8 layout (model_weights/ root,
     layer_names/weight_names attrs, ``<layer>/<w>:0`` datasets) covering the
-    FULL reference ResNet-50 layer list, and require the importer to match
-    every single layer into our tree."""
+    FULL reference layer list for each network — ResNet-50 (resnet.py:395-548),
+    ResNet-101 incl. the separate Caffe Scale layers (resnet.py:551-686), and
+    VGG16 incl. fc1/fc2 (vgg.py:91-141,226-255) — and require the importer to
+    match every single layer into our tree."""
     import tempfile
 
     import h5py
@@ -246,12 +253,12 @@ def test_keras_by_name_contract_full_resnet50():
     from faster_rcnn_tpu.models.detector import init_model
     from faster_rcnn_tpu.utils.keras_import import jax_to_py, load_keras_h5
 
-    cfg = small_r50_cfg()
+    cfg = small_net_cfg(network)
     _, variables = init_model(jax.random.PRNGKey(0), cfg)
     params = jax_to_py(variables["params"])
     stats = jax_to_py(variables.get("batch_stats", {}))
 
-    layer_list = reference_resnet50_layer_names()
+    layer_list = REFERENCE_LAYER_LISTS[network]()
     leaf_map = {"gamma": "scale", "beta": "bias", "kernel": "kernel", "bias": "bias"}
     stats_map = {"moving_mean": "mean", "moving_variance": "var"}
 
@@ -297,18 +304,41 @@ def test_keras_by_name_contract_full_resnet50():
     assert not missed, f"importer missed reference layers: {missed}"
 
     # spot-check values landed in the right leaves
-    assert np.allclose(
-        new_params["backbone"]["res3b"]["res3b_branch2a"]["kernel"],
-        fills[("res3b_branch2a", "kernel")],
-    )
-    assert np.allclose(
-        new_params["det_head"]["stage5"]["res5c"]["bn5c_branch2c"]["scale"],
-        fills[("bn5c_branch2c", "gamma")],
-    )
-    assert np.allclose(
-        new_stats["backbone"]["res2a"]["bn2a_branch1"]["var"],
-        fills[("bn2a_branch1", "moving_variance")],
-    )
+    if network == "resnet50":
+        assert np.allclose(
+            new_params["backbone"]["res3b"]["res3b_branch2a"]["kernel"],
+            fills[("res3b_branch2a", "kernel")],
+        )
+        assert np.allclose(
+            new_params["det_head"]["stage5"]["res5c"]["bn5c_branch2c"]["scale"],
+            fills[("bn5c_branch2c", "gamma")],
+        )
+        assert np.allclose(
+            new_stats["backbone"]["res2a"]["bn2a_branch1"]["var"],
+            fills[("bn2a_branch1", "moving_variance")],
+        )
+    elif network == "resnet101":
+        # deep stage-4 tail block + a separate Scale layer (Caffe style)
+        assert np.allclose(
+            new_params["backbone"]["res4b22"]["res4b22_branch2c"]["kernel"],
+            fills[("res4b22_branch2c", "kernel")],
+        )
+        assert np.allclose(
+            new_params["backbone"]["res4b22"]["scale4b22_branch2c"]["scale"],
+            fills[("scale4b22_branch2c", "gamma")],
+        )
+        assert np.allclose(
+            new_params["det_head"]["stage5"]["res5a"]["scale5a_branch1"]["bias"],
+            fills[("scale5a_branch1", "beta")],
+        )
+    else:  # vgg16
+        assert np.allclose(
+            new_params["backbone"]["block4_conv3"]["kernel"],
+            fills[("block4_conv3", "kernel")],
+        )
+        assert np.allclose(
+            new_params["det_head"]["fc2"]["bias"], fills[("fc2", "bias")]
+        )
     assert np.allclose(
         new_params["det_head"]["dense_reg_21"]["kernel"],
         fills[("dense_reg_21", "kernel")],
@@ -319,10 +349,11 @@ if __name__ == "__main__":
     print("GOLDEN_FORWARD =", _transplanted_forward_outputs())
 
 
-def test_keras_h5_export_round_trip():
-    """save_keras_h5 writes the exact reference layer set and load_keras_h5
-    reproduces the original tree from it — the inter-framework weight
-    contract works in BOTH directions."""
+@pytest.mark.parametrize("network", ["resnet50", "resnet101", "vgg16"])
+def test_keras_h5_export_round_trip(network):
+    """save_keras_h5 writes the exact reference layer set (for every
+    network) and load_keras_h5 reproduces the original tree from it — the
+    inter-framework weight contract works in BOTH directions."""
     import tempfile
 
     from faster_rcnn_tpu.models.detector import init_model
@@ -330,7 +361,7 @@ def test_keras_h5_export_round_trip():
         jax_to_py, load_keras_h5, save_keras_h5,
     )
 
-    cfg = small_r50_cfg()
+    cfg = small_net_cfg(network)
     _, variables = init_model(jax.random.PRNGKey(0), cfg)
     params = jax_to_py(variables["params"])
     stats = jax_to_py(variables.get("batch_stats", {}))
@@ -339,7 +370,7 @@ def test_keras_h5_export_round_trip():
         path = tmp.name
     try:
         written = save_keras_h5(params, stats, path)
-        expected = {n for n, _ in reference_resnet50_layer_names()}
+        expected = {n for n, _ in REFERENCE_LAYER_LISTS[network]()}
         assert expected <= set(written), sorted(expected - set(written))
 
         _, fresh = init_model(jax.random.PRNGKey(99), cfg)
