@@ -180,7 +180,10 @@ def bench_inference(batch: int, iters: int) -> None:
     }))
 
 
-def bench_training(batch: int, iters: int) -> None:
+def bench_training(batch: int, iters: int, step: str = "joint") -> None:
+    """step: 'joint' (single-pass) or 'step2' (detector step of the 4-step
+    scheme — own backbone + frozen-RPN proposals; the slowest 4-step phase,
+    NOTES.md round-1, so its regression matters to the driver)."""
     import jax
     import jax.numpy as jnp
 
@@ -198,7 +201,14 @@ def bench_training(batch: int, iters: int) -> None:
     tx = make_optimizer(params, cfg.model.network, cfg.model.freeze_blocks,
                         1e-4, weight_decay=1e-4, clip_grad_norm=10.0)
     state = pipeline.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
-    step_fn = jax.jit(pipeline.make_joint_train_step(cfg, model, tx, batch_stats))
+    if step == "joint":
+        step_fn = jax.jit(pipeline.make_joint_train_step(cfg, model, tx, batch_stats))
+        extra = ()
+    else:
+        # frozen RPN tree stays a jit ARGUMENT (device-resident), never a
+        # closed-over constant — see make_detect_fn's rationale
+        step_fn = jax.jit(pipeline.make_det_train_step(cfg, model, tx, batch_stats))
+        extra = (jax.device_put({"params": params, "batch_stats": batch_stats}),)
 
     h, w = cfg.data.canvas
     g = cfg.data.max_gt_boxes
@@ -228,7 +238,7 @@ def bench_training(batch: int, iters: int) -> None:
     del rng
 
     t0 = time.time()
-    state, metrics = step_fn(state, dev_batches[0], keys)
+    state, metrics = step_fn(state, dev_batches[0], keys, *extra)
     first_loss = float(metrics["loss"])   # host fetch
     compile_s = time.time() - t0
     if not np.isfinite(first_loss):
@@ -240,24 +250,24 @@ def bench_training(batch: int, iters: int) -> None:
     t0 = time.time()
     loss_refs = []
     for i in range(iters):
-        state, metrics = step_fn(state, dev_batches[i % 2], keys)
+        state, metrics = step_fn(state, dev_batches[i % 2], keys, *extra)
         loss_refs.append(metrics["loss"])
     jax.block_until_ready(state.params)
     dt = time.time() - t0
     sums = [float(v) for v in loss_refs]
 
-    flops = compiled_flops(step_fn, state, dev_batches[0], keys)
-    mfu = validate("training", sums, batch, dt / iters, flops)
+    flops = compiled_flops(step_fn, state, dev_batches[0], keys, *extra)
+    mfu = validate(f"training/{step}", sums, batch, dt / iters, flops)
     img_s = batch * iters / dt
     print(
-        f"# train canvas={h}x{w} batch={batch} iters={iters} "
+        f"# train[{step}] canvas={h}x{w} batch={batch} iters={iters} "
         f"compile={compile_s:.1f}s steady={dt/iters*1000:.1f}ms/step "
         f"({dt/(batch*iters)*1000:.2f}ms/img) mfu={mfu*100:.1f}% "
         f"losses={['%.2f' % s for s in sums[:4]]}",
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": "voc_resnet50_joint_train_throughput",
+        "metric": f"voc_resnet50_{step}_train_throughput",
         "value": round(img_s, 3),
         "unit": "img/s",
         "vs_baseline": round(img_s / BASELINE_TRAIN_IMG_S, 2),
@@ -273,8 +283,8 @@ def main():
         die(f"unknown bench selector {only!r} (use: all | train | infer)")
 
     if only in ("all", "train"):
-        # batch 16 > 8 for the train step (143 vs 135 img/s measured)
-        bench_training(batch=16, iters=max(6, iters // 3))
+        bench_training(batch=batch, iters=max(6, iters // 3), step="joint")
+        bench_training(batch=batch, iters=max(6, iters // 3), step="step2")
     if only in ("all", "infer"):
         bench_inference(batch, iters)
 

@@ -61,6 +61,7 @@ def main(argv=None):
         glob.glob(os.path.join(args.input_dir, "*.png"))
         + glob.glob(os.path.join(args.input_dir, "*.jpg"))
     )
+    summary = []  # (frame path, boxes actually drawn) — returned for tests
     for path in frames:
         with PilImage.open(path) as im:
             im = im.convert("RGB")
@@ -72,6 +73,7 @@ def main(argv=None):
             recs = detections_to_records(dets, [ratio], class_names)[0]
 
             draw = ImageDraw.Draw(im)
+            n_drawn = 0
             for det in recs:
                 if det["prob"] < args.det_threshold or det["cls_name"] in SKIP_CLASSES:
                     continue
@@ -82,8 +84,11 @@ def main(argv=None):
                 color = _COLORS[class_mapping[det["cls_name"]] % len(_COLORS)]
                 draw.rectangle([x1, y1, x2, y2], outline=color, width=2)
                 draw.text((x1 + 2, y1 + 2), f"{det['cls_name']} {det['prob']:.2f}", fill=color)
+                n_drawn += 1
             im.save(os.path.join(args.output_dir, os.path.basename(path)))
-            print(f"annotated {path}: {len(recs)} detections")
+            print(f"annotated {path}: {n_drawn}/{len(recs)} detections drawn")
+            summary.append((path, n_drawn))
+    return summary
 
 
 if __name__ == "__main__":

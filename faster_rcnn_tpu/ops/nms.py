@@ -307,6 +307,14 @@ def nms_topk(
     ``presorted=True`` skips the sort — use when the input already comes from
     ``top_k`` (descending scores with -inf padding).
     """
+    if boxes.shape[0] < max_out:
+        # fewer candidates than requested outputs (tiny images / small
+        # canvases): pad with invalid slots so the compaction below can
+        # always emit max_out rows
+        extra = max_out - boxes.shape[0]
+        boxes = jnp.pad(boxes, ((0, extra), (0, 0)))
+        scores = jnp.pad(scores, (0, extra), constant_values=NEG_INF)
+        valid = jnp.pad(valid, (0, extra))
     n = boxes.shape[0]
     if presorted:
         scores_s = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)

@@ -29,6 +29,8 @@ run_with_retry() {
     return "$rc"
 }
 
-run_with_retry "main suite" tests/ --ignore=tests/test_parallel.py "$@" || exit $?
+run_with_retry "main suite" tests/ --ignore=tests/test_parallel.py \
+    --ignore=tests/test_multihost_2proc.py "$@" || exit $?
 run_with_retry "parallel suite" tests/test_parallel.py "$@" || exit $?
+run_with_retry "multihost 2-proc suite" tests/test_multihost_2proc.py "$@" || exit $?
 echo "== all suites green =="

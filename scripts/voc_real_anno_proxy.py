@@ -67,6 +67,65 @@ def inject_reg_slice_bug():
     return orig
 
 
+def _train_device_cached(args, data: str, workdir: str) -> None:
+    """Train via the device-resident zero-H2D scan loop (train/device_cache.py)
+    with the same config the CLI would build — required on the dev tunnel
+    where the per-step loop runs 400x below device speed."""
+    import dataclasses
+
+    from faster_rcnn_tpu.cli.common import config_from_args as cfg_from
+    from faster_rcnn_tpu.data.voc import VOC_CLASS_MAPPING, load_dataset
+    from faster_rcnn_tpu.train.device_cache import train_cached
+    from faster_rcnn_tpu.train.schedule import phases_from_str
+    from faster_rcnn_tpu.train.trainer import merge_params
+
+    class _A:  # minimal arg bag for config_from_args
+        voc_paths = data
+        network = "resnet50"
+        resize_dims = "600,1000"
+        anchor_scales = "16,32,64,128,256,512"
+        kitti = False
+        freeze_blocks = "none"
+
+    cfg = cfg_from(_A())
+    cfg = cfg.replace(
+        train=dataclasses.replace(
+            cfg.train,
+            phases=tuple(tuple(p) for p in phases_from_str(args.phases)),
+            batch_size=args.batch, clip_grad_norm=10.0,
+        )
+    )
+    records, _ = load_dataset(
+        [data], "train", flip=False,
+        resize_min=cfg.data.resize_min, resize_max=cfg.data.resize_max,
+    )
+    print(f"{len(records)} records -> device cache")
+
+    if args.mode == "joint":
+        train_cached("joint", cfg, records, VOC_CLASS_MAPPING, workdir,
+                     batch_size=args.batch)
+        return
+    # 4-step alternating scheme with the reference handoff (trainer.py wiring)
+    import jax
+
+    from faster_rcnn_tpu.models.detector import init_model
+
+    _, variables = init_model(jax.random.PRNGKey(cfg.train.seed), cfg)
+    fresh = variables["params"]
+    r1 = train_cached(1, cfg, records, VOC_CLASS_MAPPING, workdir,
+                      batch_size=args.batch)
+    r2 = train_cached(2, cfg, records, VOC_CLASS_MAPPING, workdir,
+                      batch_size=args.batch, init_params=fresh,
+                      rpn_params=r1.params)
+    init3 = merge_params(fresh, r2.params, ["backbone"])
+    r3 = train_cached(3, cfg, records, VOC_CLASS_MAPPING, workdir,
+                      batch_size=args.batch, init_params=init3)
+    init4 = merge_params(fresh, r3.params, ["backbone", "rpn_head"])
+    train_cached(4, cfg, records, VOC_CLASS_MAPPING, workdir,
+                 batch_size=args.batch, init_params=init4,
+                 rpn_params=r3.params)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("base", nargs="?", default="/tmp/voc_real_proxy")
@@ -76,6 +135,10 @@ def main():
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--inject_bug", action="store_true")
     p.add_argument("--skip_train", action="store_true")
+    p.add_argument("--loader", action="store_true",
+                   help="train through the host TrainLoader CLI path instead "
+                        "of the device-resident cache (slow on the dev "
+                        "tunnel: every dispatch pays 1-6s RTT)")
     args = p.parse_args()
 
     data = os.path.join(args.base, "VOC")
@@ -90,13 +153,16 @@ def main():
     common = ["--voc_paths", data, "--network", "resnet50"]
     if not args.skip_train:
         t0 = time.time()
-        train_cli.main(common + [
-            "--img_set", "train", "--step",
-            "joint" if args.mode == "joint" else "1,2,3,4",
-            "--phases", args.phases, "--batch_size", str(args.batch),
-            "--clip_grad_norm", "10", "--freeze_blocks", "none",
-            "--workdir", workdir, "--save_frequency", "400",
-        ])
+        if args.loader:
+            train_cli.main(common + [
+                "--img_set", "train", "--step",
+                "joint" if args.mode == "joint" else "1,2,3,4",
+                "--phases", args.phases, "--batch_size", str(args.batch),
+                "--clip_grad_norm", "10", "--freeze_blocks", "none",
+                "--workdir", workdir, "--save_frequency", "400",
+            ])
+        else:
+            _train_device_cached(args, data, workdir)
         print(f"training ({args.mode}) took {time.time()-t0:.0f}s")
 
     def run_eval(tag: str):

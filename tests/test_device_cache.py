@@ -1,0 +1,205 @@
+"""Device-resident dataset / scanned training loop (train/device_cache.py).
+
+Pins the three properties the zero-H2D path must preserve:
+  1. the uploaded canvases are bit-identical to the host loader's output;
+  2. on-device flip augmentation reproduces the host loader's flipped
+     canvases and box geometry exactly;
+  3. the scanned K-step program produces the same numbers as calling the
+     plain per-step function in a Python loop with the same batches/keys.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from faster_rcnn_tpu.data.pipeline import canvas_for, prepare_example
+from faster_rcnn_tpu.data.voc import VOC_CLASS_MAPPING, load_dataset
+from faster_rcnn_tpu.train import pipeline
+from faster_rcnn_tpu.train.device_cache import (
+    _flip_batch, build_device_dataset, epoch_schedule, make_scan_train_fn,
+)
+
+from tests.test_data import make_voc_tree
+from tests.test_train_step import tiny_config
+
+
+@pytest.fixture
+def mixed_voc(tmp_path):
+    root = str(tmp_path / "VOC")
+    make_voc_tree(
+        root,
+        [
+            ("000001", 120, 90, [("dog", False, 20, 20, 60, 60)]),
+            ("000002", 120, 90, [("cat", False, 30, 10, 90, 70)]),
+            ("000003", 90, 120, [("person", False, 10, 30, 80, 85)]),  # portrait
+            ("000004", 120, 90, [("car", False, 50, 20, 110, 80)]),
+        ],
+    )
+    return root
+
+
+def _cfg():
+    cfg = tiny_config("vgg16")
+    return dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, num_classes=len(VOC_CLASS_MAPPING))
+    )
+
+
+def test_upload_matches_host_loader(mixed_voc):
+    cfg = _cfg()
+    records, _ = load_dataset([mixed_voc], "trainval", flip=False,
+                              resize_min=cfg.data.resize_min,
+                              resize_max=cfg.data.resize_max)
+    buckets = build_device_dataset(records, VOC_CLASS_MAPPING, cfg)
+    assert len(buckets) == 2  # landscape + portrait
+    total = sum(b.n for b in buckets.values())
+    assert total == 4
+    for rec in records:
+        canvas = canvas_for(rec, cfg)
+        b = buckets[canvas]
+        ex = prepare_example(rec, VOC_CLASS_MAPPING, cfg, canvas, uint8=True)
+        # find the record's row by img_hw + gt match
+        rows = np.where((np.asarray(b.img_hw) == ex["img_hw"]).all(axis=1))[0]
+        match = [
+            i for i in rows
+            if np.array_equal(np.asarray(b.images[i]), ex["image"])
+            and np.allclose(np.asarray(b.gt_boxes[i]), ex["gt_boxes"])
+        ]
+        assert match, f"no device row matches host canvas for {rec.name}"
+    assert buckets[list(buckets)[0]].images.dtype == jnp.uint8
+
+
+def test_device_flip_matches_host_flip(mixed_voc):
+    cfg = _cfg()
+    records, _ = load_dataset([mixed_voc], "trainval", flip=False,
+                              resize_min=cfg.data.resize_min,
+                              resize_max=cfg.data.resize_max)
+    rec = records[0]
+    canvas = canvas_for(rec, cfg)
+    plain = prepare_example(rec, VOC_CLASS_MAPPING, cfg, canvas, uint8=True)
+    host_flipped = prepare_example(
+        rec.horizontal_flip(), VOC_CLASS_MAPPING, cfg, canvas, uint8=True
+    )
+    img_dev, boxes_dev = _flip_batch(
+        jnp.asarray(plain["image"])[None],
+        jnp.asarray(plain["gt_boxes"])[None],
+        jnp.asarray(plain["gt_valid"])[None],
+        jnp.asarray(plain["img_hw"])[None],
+        jnp.asarray([True]),
+    )
+    # pixels: the host path flips the ORIGINAL image then resizes; bicubic of
+    # a mirror == mirror of the bicubic, so canvases must match exactly
+    np.testing.assert_array_equal(np.asarray(img_dev[0]), host_flipped["image"])
+    np.testing.assert_allclose(
+        np.asarray(boxes_dev[0]), host_flipped["gt_boxes"], atol=1e-4
+    )
+    # unflipped passthrough
+    img_same, boxes_same = _flip_batch(
+        jnp.asarray(plain["image"])[None],
+        jnp.asarray(plain["gt_boxes"])[None],
+        jnp.asarray(plain["gt_valid"])[None],
+        jnp.asarray(plain["img_hw"])[None],
+        jnp.asarray([False]),
+    )
+    np.testing.assert_array_equal(np.asarray(img_same[0]), plain["image"])
+
+
+def test_scan_loop_matches_per_step_loop(mixed_voc):
+    # f32 compute: the scanned and standalone compilations fuse reductions
+    # differently; at bf16 that reorder noise reaches ~1e-4 after one update
+    # and the test's point is batch/key EQUIVALENCE, not dtype jitter.
+    cfg = _cfg()
+    cfg = cfg.replace(
+        model=dataclasses.replace(cfg.model, compute_dtype="float32")
+    )
+    records, _ = load_dataset([mixed_voc], "trainval", flip=False,
+                              resize_min=cfg.data.resize_min,
+                              resize_max=cfg.data.resize_max)
+    buckets = build_device_dataset(records, VOC_CLASS_MAPPING, cfg)
+    canvas = max(buckets, key=lambda c: buckets[c].n)  # landscape (3 records)
+    bucket = buckets[canvas]
+
+    from faster_rcnn_tpu.models.detector import init_model
+    from faster_rcnn_tpu.parallel.freeze import make_optimizer
+
+    cfg_c = cfg.replace(
+        data=dataclasses.replace(cfg.data, canvas_h=canvas[0], canvas_w=canvas[1])
+    )
+    model, variables = init_model(jax.random.PRNGKey(0), cfg_c)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(params, cfg.model.network, (), 1e-3)
+    step_fn = pipeline.make_joint_train_step(cfg_c, model, tx, batch_stats)
+
+    k_steps, b = 2, 2
+    idx = np.array([[0, 1], [2, 0]], np.int32)
+    flip = np.array([[False, True], [True, False]])
+    key = jax.random.PRNGKey(42)
+
+    scan_fn = make_scan_train_fn(step_fn, b)
+    state0 = pipeline.TrainState(
+        jax.tree_util.tree_map(jnp.array, params), tx.init(params),
+        jnp.zeros((), jnp.int32),
+    )
+    data = dict(images=bucket.images, gt_boxes=bucket.gt_boxes,
+                gt_class=bucket.gt_class, gt_valid=bucket.gt_valid,
+                img_hw=bucket.img_hw)
+    state_scan, mstack = scan_fn(state0, jnp.asarray(idx), jnp.asarray(flip), key, data)
+
+    # reference: plain per-step loop with identical batch assembly + keys
+    state_ref = pipeline.TrainState(
+        jax.tree_util.tree_map(jnp.array, params), tx.init(params),
+        jnp.zeros((), jnp.int32),
+    )
+    jit_step = jax.jit(step_fn)
+    per_step_metrics = []
+    for i in range(k_steps):
+        ids = jnp.asarray(idx[i])
+        img = jnp.take(bucket.images, ids, axis=0)
+        gtb = jnp.take(bucket.gt_boxes, ids, axis=0)
+        hw = jnp.take(bucket.img_hw, ids, axis=0)
+        gtv = jnp.take(bucket.gt_valid, ids, axis=0)
+        img, gtb = _flip_batch(img, gtb, gtv, hw, jnp.asarray(flip[i]))
+        batch = {
+            "image": img, "gt_boxes": gtb,
+            "gt_class": jnp.take(bucket.gt_class, ids, axis=0),
+            "gt_valid": gtv,
+            "img_hw": hw,
+        }
+        sub = jax.random.fold_in(key, i)
+        keys = jax.random.split(sub, b)
+        state_ref, m = jit_step(state_ref, batch, keys)
+        per_step_metrics.append({kk: float(v) for kk, v in m.items()})
+
+    for kk in per_step_metrics[0]:
+        stacked = np.asarray(mstack[kk])
+        for i in range(k_steps):
+            assert np.isclose(stacked[i], per_step_metrics[i][kk], rtol=1e-5), (
+                kk, i, stacked, per_step_metrics
+            )
+    ref_leaves = jax.tree_util.tree_leaves(state_ref.params)
+    scan_leaves = jax.tree_util.tree_leaves(state_scan.params)
+    for a, c in zip(ref_leaves, scan_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-5, atol=1e-6)
+
+
+def test_epoch_schedule_covers_dataset(mixed_voc):
+    cfg = _cfg()
+    records, _ = load_dataset([mixed_voc], "trainval", flip=False,
+                              resize_min=cfg.data.resize_min,
+                              resize_max=cfg.data.resize_max)
+    buckets = build_device_dataset(records, VOC_CLASS_MAPPING, cfg)
+    plan = epoch_schedule(buckets, total_steps=8, batch_size=2, seed=0)
+    seen = {}
+    for canvas, idx, flip in plan:
+        assert idx.shape == flip.shape
+        assert idx.shape[1] == 2
+        for i, f in zip(idx.ravel(), flip.ravel()):
+            seen.setdefault(canvas, set()).add((int(i), bool(f)))
+    # the landscape bucket (3 imgs x 2 flips) must be fully visited within
+    # 8 steps x batch 2 = 16 samples allocated proportionally
+    land = [c for c in buckets if buckets[c].n == 3][0]
+    assert len(seen[land]) == 6

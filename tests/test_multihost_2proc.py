@@ -1,0 +1,127 @@
+"""REAL multi-process training: 2 OS processes x 4 virtual CPU devices.
+
+Round-2 verdict: ``jax.distributed.initialize`` /
+``make_array_from_process_local_data`` had only ever run with
+process_count == 1 — every CI path degenerated to the local branch.  This
+test launches an actual 2-process cluster (localhost coordinator), trains 3
+joint steps through ``train_one_step(..., multihost=True)`` on an 8-device
+GLOBAL mesh assembled across the process boundary, and asserts the loss
+trajectory matches the single-process 8-device run bit-for-bit(-ish).
+
+The dataset is 8 images with IDENTICAL pixels and GT so the global batch
+content is invariant to how records shard across hosts — any metric
+difference can then only come from the distributed mechanics themselves.
+
+Runs as its own pytest invocation (scripts/run_tests.sh third suite): the two
+workers plus the in-process comparison run oversubscribe the 1-core CI
+container, which is exactly the load pattern behind the known XLA:CPU abort
+flake the runner retries.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _make_identical_image_tree(root: str) -> None:
+    """8 images, all with the same pixels + same single GT box."""
+    from PIL import Image as PilImage
+
+    from tests.test_data import ANNOTATION_TMPL, OBJECT_TMPL
+
+    os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(root, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets", "Main"), exist_ok=True)
+    arr = (np.random.RandomState(7).rand(90, 120, 3) * 255).astype(np.uint8)
+    arr[20:60, 20:60] = (200, 60, 60)
+    names = [f"{i:06d}" for i in range(8)]
+    for n in names:
+        PilImage.fromarray(arr).save(os.path.join(root, "JPEGImages", n + ".jpg"))
+        objs = OBJECT_TMPL.format(cls="dog", diff=0, x1=21, y1=21, x2=60, y2=60)
+        with open(os.path.join(root, "Annotations", n + ".xml"), "w") as f:
+            f.write(ANNOTATION_TMPL.format(name=n, w=120, h=90, objects=objs))
+    with open(os.path.join(root, "ImageSets", "Main", "trainval.txt"), "w") as f:
+        f.write("\n".join(names) + "\n")
+
+
+def test_two_process_multihost_matches_single_process(tmp_path):
+    data_dir = str(tmp_path / "VOC")
+    _make_identical_image_tree(data_dir)
+    port = _free_port()
+
+    procs = []
+    outs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if not f.startswith("--xla_force_host_platform_device_count")
+        )
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=4").strip()
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(pid)
+        env.pop("JAX_COMPILATION_CACHE_DIR", None)
+        out_json = str(tmp_path / f"worker{pid}.json")
+        outs.append(out_json)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, os.path.join(REPO, "tests", "multihost_worker.py"),
+                 data_dir, str(tmp_path / "work_2proc"), out_json],
+                env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    logs = [p.communicate(timeout=1500)[0].decode() for p in procs]
+    for pid, (p, log) in enumerate(zip(procs, logs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{log[-4000:]}"
+
+    results = []
+    for o in outs:
+        with open(o) as f:
+            results.append(json.load(f))
+    assert {r["process_index"] for r in results} == {0, 1}
+    assert all(r["process_count"] == 2 for r in results)
+    # both processes computed the same (globally reduced) metrics
+    for k, v in results[0]["final_metrics"].items():
+        assert np.isclose(v, results[1]["final_metrics"][k], rtol=1e-5), (
+            k, results[0]["final_metrics"], results[1]["final_metrics"]
+        )
+
+    # single-process 8-device comparison run, in-process (the conftest mesh)
+    from faster_rcnn_tpu.data.voc import VOC_CLASS_MAPPING, load_dataset
+    from faster_rcnn_tpu.train.trainer import train_one_step
+    from tests.multihost_worker import mh_test_cfg
+
+    cfg = mh_test_cfg()
+    records, _ = load_dataset(
+        [data_dir], "trainval", flip=False,
+        resize_min=cfg.data.resize_min, resize_max=cfg.data.resize_max,
+    )
+    local = train_one_step(
+        "joint", cfg, records, VOC_CLASS_MAPPING, str(tmp_path / "work_local"),
+        batch_size=8, max_steps=3, save_frequency=1000, seed=0, log_every=1,
+    )
+
+    # identical batch content + identical global key sequence + identical
+    # 8-device data mesh -> the distributed run must reproduce the local
+    # loss trajectory.  Tolerance covers only reduction-order jitter (f32
+    # compute, lr 1e-4 — see mh_test_cfg) amplified over 3 steps.
+    for k, v in local.final_metrics.items():
+        assert np.isclose(v, results[0]["final_metrics"][k], rtol=2e-3, atol=1e-5), (
+            k, local.final_metrics, results[0]["final_metrics"]
+        )
