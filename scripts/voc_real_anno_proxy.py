@@ -171,7 +171,8 @@ def main():
         detect_cli.main(common + [
             "--img_set", "val", "--workdir", workdir,
             "--from_step", "joint" if args.mode == "joint" else "4",
-            "--out_dir", dets, "--batch_size", str(args.batch),
+            # large batches amortize the dev tunnel's per-dispatch RTT
+            "--out_dir", dets, "--batch_size", str(max(args.batch, 32)),
         ])
         print(f"detection ({tag}) took {time.time()-t0:.0f}s")
         aps = eval_all(dets, data, VOC_CLASS_MAPPING, img_set="val", verbose=True)
