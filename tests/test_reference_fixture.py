@@ -41,7 +41,59 @@ needs_image = pytest.mark.skipif(
 
 # Golden outputs for the transplanted-forward test (captured on the CPU
 # backend; regenerate with ``python -m tests.test_reference_fixture``).
-GOLDEN_FORWARD = {"num_valid": 47, "class_sum": 504, "score_sum": 42.902, "box_sum": 23079.1}
+# Per-detection (class, x1, y1, x2, y2, score) sorted tuples: verified
+# bit-identical between the 1-device and 8-virtual-device CPU backends at
+# this precision, so the former +-5% box_sum tolerance is gone — a decode
+# drift of half a pixel on any single box now fails.
+GOLDEN_DETS = [
+    (0, 38.73, -372.99, 38.73, -371.79, 0.9985),
+    (0, 206.95, 20.42, 206.95, 20.43, 0.9971),
+    (0, 218.97, 23.55, 218.97, 23.56, 0.9841),
+    (0, 232.7, -58.43, 232.7, -58.43, 0.7794),
+    (0, 244.21, 14.97, 244.21, 14.98, 1.0),
+    (0, 369.22, -500.05, 369.22, -500.02, 0.8762),
+    (0, 552.39, 11.55, 552.39, 11.55, 0.8637),
+    (0, 652.14, -280.51, 652.14, -280.5, 0.7901),
+    (0, 871.48, -45.74, 871.48, -45.73, 0.9959),
+    (0, 961.22, -106.34, 961.22, -106.33, 0.6203),
+    (13, -64.09, 30.65, 195.7, 99.51, 0.941),
+    (13, -59.73, 76.43, 144.77, 92.96, 0.7381),
+    (13, -57.93, -59.38, 190.4, 170.08, 0.8067),
+    (13, -52.74, 56.91, 149.53, 89.97, 0.6319),
+    (13, -50.44, 147.53, 192.17, 201.2, 0.9913),
+    (13, -47.89, 98.64, 195.91, 151.48, 0.9993),
+    (13, -46.81, 172.36, 193.33, 189.28, 0.9541),
+    (13, -44.93, 40.26, 194.02, 73.98, 0.8985),
+    (13, -43.44, 111.53, 199.82, 180.98, 0.9956),
+    (13, -41.04, 156.07, 204.46, 173.32, 0.9804),
+    (13, -40.59, 135.95, 203.07, 170.82, 0.9963),
+    (13, -40.14, 73.53, 133.89, 160.93, 0.9961),
+    (13, -0.5, -60.89, 85.36, 173.55, 0.8996),
+    (13, 7.14, 144.23, 85.12, 201.96, 0.9999),
+    (13, 32.05, -22.78, 175.96, 176.25, 0.9519),
+    (13, 36.66, 166.73, 206.46, 203.99, 0.9851),
+    (13, 71.64, 43.55, 221.64, 61.19, 0.9996),
+    (13, 91.83, 96.77, 189.13, 151.19, 0.9998),
+    (13, 99.2, 74.8, 229.15, 92.11, 0.9412),
+    (13, 124.1, 17.73, 236.03, 71.43, 0.6651),
+    (13, 124.25, 124.98, 138.41, 140.14, 0.561),
+    (13, 130.29, 89.47, 199.87, 108.41, 0.8254),
+    (13, 130.69, 92.07, 212.76, 165.42, 0.9982),
+    (13, 135.35, -71.72, 233.18, 170.72, 0.8675),
+    (13, 164.29, 186.35, 223.35, 205.84, 0.7527),
+    (13, 175.9, -22.38, 243.84, 52.64, 0.9684),
+    (13, 197.53, 32.0, 253.88, 86.65, 0.9998),
+    (13, 204.03, 11.69, 218.38, 29.27, 0.9977),
+    (13, 206.74, 105.58, 216.14, 123.39, 1.0),
+    (13, 215.2, 140.5, 260.7, 157.97, 1.0),
+    (13, 232.92, -72.7, 260.34, 170.53, 0.8463),
+    (13, 254.13, 91.24, 267.26, 109.24, 0.9147),
+    (17, 9.53, 46.83, 500.7, 84.09, 0.5809),
+    (17, 97.25, 31.76, 128.85, 37.96, 0.8541),
+    (18, 113.46, 20.25, 141.77, 33.26, 0.6077),
+    (18, 180.91, 20.04, 205.43, 34.47, 0.988),
+    (18, 196.84, 17.57, 220.68, 35.23, 0.9919),
+]
 
 
 def small_net_cfg(network):
@@ -119,30 +171,30 @@ def _transplanted_forward_outputs():
     detect = make_detect_fn(cfg, model, variables)
     out = detect(jnp.asarray(canvas), jnp.asarray(img_hw))
     valid = np.asarray(out.valid)[0]
-    return {
-        "num_valid": int(valid.sum()),
-        "class_sum": int(np.asarray(out.classes)[0][valid].sum()),
-        "score_sum": round(float(np.asarray(out.scores)[0][valid].sum()), 3),
-        "box_sum": round(float(np.asarray(out.boxes)[0][valid].sum()), 1),
-    }
+    return sorted(
+        (int(c), round(float(b[0]), 2), round(float(b[1]), 2),
+         round(float(b[2]), 2), round(float(b[3]), 2), round(float(s), 4))
+        for c, b, s in zip(np.asarray(out.classes)[0][valid],
+                           np.asarray(out.boxes)[0][valid],
+                           np.asarray(out.scores)[0][valid])
+    )
 
 
 @needs_fixture
 @needs_image
 def test_fixture_transplant_and_forward_golden():
     got = _transplanted_forward_outputs()
-    assert GOLDEN_FORWARD is not None, "regenerate: python -m tests.test_reference_fixture"
-    # The detection SET (count + classes) is the hard contract and is stable.
-    # Scores/boxes carry a few-percent run-to-run drift even at f32: XLA:CPU
-    # conv custom-calls select algorithms (reduction orders) at runtime.
-    assert got["num_valid"] == GOLDEN_FORWARD["num_valid"], got
-    assert got["class_sum"] == GOLDEN_FORWARD["class_sum"], got
-    assert abs(got["score_sum"] - GOLDEN_FORWARD["score_sum"]) <= 0.05 * abs(
-        GOLDEN_FORWARD["score_sum"]
-    ), got
-    assert abs(got["box_sum"] - GOLDEN_FORWARD["box_sum"]) <= 0.05 * abs(
-        GOLDEN_FORWARD["box_sum"]
-    ), got
+    # Exact detection SET (count + classes), every box pinned to <=0.5 px
+    # and every score to <=5e-3 against the golden — tight enough that a
+    # 1-px decode drift on any single box fails, loose enough to absorb
+    # f32 reduction-order jitter (measured: zero at this precision across
+    # the 1- and 8-device CPU backends).
+    assert len(got) == len(GOLDEN_DETS), (len(got), len(GOLDEN_DETS))
+    for g, ref in zip(got, GOLDEN_DETS):
+        assert g[0] == ref[0], (g, ref)
+        for got_v, ref_v in zip(g[1:5], ref[1:5]):
+            assert abs(got_v - ref_v) <= 0.5, (g, ref)
+        assert abs(g[5] - ref[5]) <= 5e-3, (g, ref)
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +398,10 @@ def test_keras_by_name_contract_full(network):
 
 
 if __name__ == "__main__":
-    print("GOLDEN_FORWARD =", _transplanted_forward_outputs())
+    print("GOLDEN_DETS = [")
+    for det in _transplanted_forward_outputs():
+        print(f"    {det},")
+    print("]")
 
 
 @pytest.mark.parametrize("network", ["resnet50", "resnet101", "vgg16"])
