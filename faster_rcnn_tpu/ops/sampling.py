@@ -28,9 +28,20 @@ def _ranks(priority: jax.Array) -> jax.Array:
     return ranks.at[order].set(jnp.arange(n, dtype=jnp.int32))
 
 
-def random_subset_mask(key: jax.Array, mask: jax.Array, k) -> jax.Array:
-    """Uniformly keep at most ``k`` True entries of ``mask`` (k may be traced)."""
+def random_subset_mask(key: jax.Array, mask: jax.Array, k, max_k: int = None) -> jax.Array:
+    """Uniformly keep at most ``k`` True entries of ``mask`` (k may be traced).
+
+    ``max_k``: static upper bound on k.  When given (and smaller than the
+    candidate count) the selection runs as ``lax.top_k(priority, max_k)``
+    plus a scatter — O(N log max_k) instead of the full O(N log N) argsort,
+    which matters at RPN scale (68k anchors, max_k 128/256).  Identical
+    selection to the rank path: both keep exactly the top-k priorities, and
+    uniform(0,1) priorities are distinct w.p. 1."""
     pri = jnp.where(mask, jax.random.uniform(key, mask.shape), NEG_INF)
+    if max_k is not None and max_k < mask.shape[0]:
+        vals, idx = jax.lax.top_k(pri, max_k)
+        keep_slot = (jnp.arange(max_k) < k) & (vals > NEG_INF / 2)
+        return jnp.zeros(mask.shape, bool).at[idx].set(keep_slot, mode="drop")
     return mask & (_ranks(pri) < k)
 
 
@@ -50,9 +61,10 @@ def subsample_rpn_anchors(
     pos_mask = is_pos & can_use
     neg_mask = (~is_pos) & can_use
 
-    kept_pos = random_subset_mask(kp, pos_mask, max_pos)
+    kept_pos = random_subset_mask(kp, pos_mask, max_pos, max_k=max_pos)
     num_pos = jnp.sum(kept_pos)
-    kept_neg = random_subset_mask(kn, neg_mask, sample_size - num_pos)
+    kept_neg = random_subset_mask(kn, neg_mask, sample_size - num_pos,
+                                  max_k=sample_size)
     return kept_pos | kept_neg
 
 

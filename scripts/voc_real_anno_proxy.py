@@ -95,6 +95,8 @@ def _train_device_cached(args, data: str, workdir: str) -> None:
             batch_size=args.batch, clip_grad_norm=10.0,
         )
     )
+    if args.pre_nms:
+        cfg = cfg.replace(rpn=dataclasses.replace(cfg.rpn, train_pre_nms=args.pre_nms))
     records, _ = load_dataset(
         [data], "train", flip=False,
         resize_min=cfg.data.resize_min, resize_max=cfg.data.resize_max,
@@ -139,6 +141,9 @@ def main():
                    help="train through the host TrainLoader CLI path instead "
                         "of the device-resident cache (slow on the dev "
                         "tunnel: every dispatch pays 1-6s RTT)")
+    p.add_argument("--pre_nms", type=int, default=0,
+                   help="override rpn.train_pre_nms (e.g. 6000 to validate "
+                        "the Detectron default against the reference's 12000)")
     args = p.parse_args()
 
     data = os.path.join(args.base, "VOC")
