@@ -59,9 +59,14 @@ class FasterRCNN(nn.Module):
             raise ValueError(f"unknown network {m.network}")
         self.rpn_head_net = RpnHead(anchors_per_loc=self.cfg.anchors.num_anchors, name="rpn_head")
 
-    def backbone(self, images):
-        """(B, H, W, 3) preprocessed -> (B, H/16, W/16, F)."""
-        return self.backbone_net(images)
+    def backbone(self, images, stop_grad_stage: int = 0):
+        """(B, H, W, 3) preprocessed -> (B, H/16, W/16, F).
+
+        ``stop_grad_stage`` (static int) cuts the backward pass after that
+        backbone stage; pass ``parallel.freeze.frozen_prefix_stage(...)`` so
+        frozen stages never pay for gradients (update-identical, see there).
+        """
+        return self.backbone_net(images, stop_grad_stage=stop_grad_stage)
 
     def rpn(self, feat):
         """Feature map -> (objectness logits (B, h, w, A), bbreg (B, h, w, 4A))."""

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from faster_rcnn_tpu.models.layers import ChannelScale, FrozenBatchNorm
@@ -100,9 +101,17 @@ class ResNetBackbone(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stop_grad_stage: int = 0):
+        """``stop_grad_stage=k`` (static) inserts one ``stop_gradient`` after
+        stage k (1 = conv1+pool), structurally eliminating the backward pass
+        through a frozen stage prefix — see
+        ``parallel.freeze.frozen_prefix_stage`` for the update-equivalence
+        argument."""
         caffe = self.depth == 101
         kw = dict(use_bias=not caffe, separate_scale=caffe, dtype=self.dtype)
+
+        def sg(x, stage):
+            return jax.lax.stop_gradient(x) if stop_grad_stage == stage else x
 
         x = x.astype(self.dtype)
         x = nn.Conv(
@@ -113,13 +122,13 @@ class ResNetBackbone(nn.Module):
         if caffe:
             x = ChannelScale(dtype=self.dtype, name="scale_conv1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))  # VALID, resnet.py:413
+        x = sg(nn.max_pool(x, (3, 3), strides=(2, 2)), 1)  # VALID, resnet.py:413
 
-        x = _stage(x, 2, ["a", "b", "c"], (64, 64, 256), (1, 1), **kw)
-        x = _stage(x, 3, ["a", "b", "c", "d"] if not caffe else ["a", "b1", "b2", "b3"],
-                   (128, 128, 512), (2, 2), **kw)
+        x = sg(_stage(x, 2, ["a", "b", "c"], (64, 64, 256), (1, 1), **kw), 2)
+        x = sg(_stage(x, 3, ["a", "b", "c", "d"] if not caffe else ["a", "b1", "b2", "b3"],
+                      (128, 128, 512), (2, 2), **kw), 3)
         blocks4 = _STAGE4_BLOCKS_101 if caffe else _STAGE4_BLOCKS_50
-        x = _stage(x, 4, blocks4, (256, 256, 1024), (2, 2), **kw)
+        x = sg(_stage(x, 4, blocks4, (256, 256, 1024), (2, 2), **kw), 4)
         return x
 
 

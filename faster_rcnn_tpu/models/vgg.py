@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 # (block, n_convs, filters)
@@ -28,7 +29,10 @@ class VGG16Backbone(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stop_grad_stage: int = 0):
+        """``stop_grad_stage=k`` (static) cuts the backward pass after block k
+        when blocks 1..k are all frozen (vgg.py:94 trainable=False for blocks
+        1-2) — see ``parallel.freeze.frozen_prefix_stage``."""
         x = x.astype(self.dtype)
         for block, n_convs, filters in _VGG_CFG:
             for conv in range(1, n_convs + 1):
@@ -43,6 +47,8 @@ class VGG16Backbone(nn.Module):
                 x = nn.relu(x)
             if block < 5:  # final pool dropped (stride stays 16)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if stop_grad_stage == block:
+                x = jax.lax.stop_gradient(x)
         return x
 
 

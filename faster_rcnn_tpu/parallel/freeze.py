@@ -56,6 +56,38 @@ def param_labels(
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def frozen_prefix_stage(
+    network: str,
+    freeze_blocks: Sequence[int],
+    freeze_modules: Sequence[str] = (),
+) -> int:
+    """Largest k such that backbone stages 1..k are ALL frozen (0 if conv1
+    trains).
+
+    Used to place a structural ``stop_gradient`` at the frozen-prefix
+    boundary inside the backbone: with stages 1..k frozen there are no
+    trainable parameters below the boundary (BN/Scale params are frozen
+    unconditionally by the norm rule above), so cutting the backward pass
+    there yields bit-identical updates — the only gradients it removes are
+    ones ``multi_transform`` routes to ``set_to_zero`` anyway, and the
+    clip/decay transforms are masked to the train route so they never see
+    frozen leaves.  Worth ~24 ms/step at B=16 on v5e (NOTES.md round 3:
+    conv1+stage2+stage3 backward was 47% of the backbone's 48.7 ms
+    fwd+bwd cost despite being frozen in the reference's default config,
+    resnet.py:408-445 train1=False).
+    """
+    last = 5 if network == "vgg16" else 4
+    if "backbone" in freeze_modules:
+        return last
+    frozen = set(freeze_blocks)
+    k = 0
+    for b in range(1, last + 1):
+        if b not in frozen:
+            break
+        k = b
+    return k
+
+
 def decay_mask(params):
     """True for kernels/biases of conv+dense layers; False for BN/Scale."""
 

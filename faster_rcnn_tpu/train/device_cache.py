@@ -272,13 +272,14 @@ def train_cached(
             cfg_c = cfg.replace(
                 data=dataclasses.replace(cfg.data, canvas_h=canvas[0], canvas_w=canvas[1])
             )
+            fkw = dict(freeze_blocks=freeze_blocks, freeze_modules=freeze_modules)
             if step == "joint":
-                fn = pipeline.make_joint_train_step(cfg_c, model, tx, batch_stats)
+                fn = pipeline.make_joint_train_step(cfg_c, model, tx, batch_stats, **fkw)
             elif is_rpn_step:
-                fn = pipeline.make_rpn_train_step(cfg_c, model, tx, batch_stats)
+                fn = pipeline.make_rpn_train_step(cfg_c, model, tx, batch_stats, **fkw)
             else:
                 fn = pipeline.make_det_train_step(
-                    cfg_c, model, tx, batch_stats, heads_only=(step == 4)
+                    cfg_c, model, tx, batch_stats, heads_only=(step == 4), **fkw
                 )
             scan_fns[canvas] = make_scan_train_fn(
                 fn, batch_size, has_rpn_vars=not is_rpn_step

@@ -43,6 +43,7 @@ from faster_rcnn_tpu.ops import proposals as prop_ops
 from faster_rcnn_tpu.ops import targets as tgt_ops
 from faster_rcnn_tpu.ops.roi_align import roi_align_batched
 from faster_rcnn_tpu.ops.sampling import sample_det_rois
+from faster_rcnn_tpu.parallel.freeze import frozen_prefix_stage
 
 
 class TrainState(NamedTuple):
@@ -115,13 +116,32 @@ def rpn_losses_one_image(cfg, consts, key, cls_logits, bbreg, gt_boxes, gt_class
     return l_cls, l_reg
 
 
-def make_rpn_train_step(cfg: FasterRcnnConfig, model: FasterRCNN, tx: optax.GradientTransformation, batch_stats):
-    """Jittable (state, batch, keys) -> (state, metrics) for RPN training."""
+def make_rpn_train_step(
+    cfg: FasterRcnnConfig,
+    model: FasterRCNN,
+    tx: optax.GradientTransformation,
+    batch_stats,
+    freeze_blocks=None,
+    freeze_modules=(),
+):
+    """Jittable (state, batch, keys) -> (state, metrics) for RPN training.
+
+    ``freeze_blocks``/``freeze_modules`` mirror the spec the optimizer was
+    built with (trainer.step_freeze_spec) so the backward pass can be cut at
+    the frozen-prefix boundary; defaults reproduce step 1 / joint semantics
+    (cfg.model.freeze_blocks, nothing module-frozen).
+    """
     consts = build_constants(cfg)
+    sg_stage = frozen_prefix_stage(
+        cfg.model.network,
+        cfg.model.freeze_blocks if freeze_blocks is None else freeze_blocks,
+        freeze_modules,
+    )
 
     def loss_fn(params, batch, keys):
         variables = {"params": params, "batch_stats": batch_stats}
-        feat = model.apply(variables, ingest_images(batch["image"]), method=FasterRCNN.backbone)
+        feat = model.apply(variables, ingest_images(batch["image"]),
+                           method=FasterRCNN.backbone, stop_grad_stage=sg_stage)
         cls_logits, bbreg = model.apply(variables, feat, method=FasterRCNN.rpn)
 
         l_cls, l_reg = jax.vmap(
@@ -215,6 +235,8 @@ def make_det_train_step(
     tx: optax.GradientTransformation,
     batch_stats,
     heads_only: bool = False,
+    freeze_blocks=None,
+    freeze_modules=(),
 ):
     """Detector train step: (state, batch, keys, rpn_vars) -> (state, metrics).
 
@@ -227,6 +249,11 @@ def make_det_train_step(
       conv-feature cache disappears — the feature map is already in-graph).
     """
     pre, post = cfg.rpn.train_pre_nms, cfg.rpn.train_post_nms
+    sg_stage = frozen_prefix_stage(
+        cfg.model.network,
+        cfg.model.freeze_blocks if freeze_blocks is None else freeze_blocks,
+        freeze_modules,
+    )
 
     def loss_fn(params, batch, keys, rpn_vars):
         images = ingest_images(batch["image"])
@@ -243,7 +270,8 @@ def make_det_train_step(
         if heads_only:
             pooled_src = jax.lax.stop_gradient(feat_rpn)
         else:
-            pooled_src = model.apply(variables, images, method=FasterRCNN.backbone)
+            pooled_src = model.apply(variables, images, method=FasterRCNN.backbone,
+                                     stop_grad_stage=sg_stage)
 
         pooled = roi_align_batched(
             pooled_src, rois64, cfg.det.pool_size, impl=cfg.det.roi_align_impl
@@ -290,6 +318,8 @@ def make_joint_train_step(
     model: FasterRCNN,
     tx: optax.GradientTransformation,
     batch_stats,
+    freeze_blocks=None,
+    freeze_modules=(),
 ):
     """Single-pass approximate-joint Faster R-CNN training.
 
@@ -305,10 +335,16 @@ def make_joint_train_step(
     consts = build_constants(cfg)
     posv = _position_validity(cfg)
     pre, post = cfg.rpn.train_pre_nms, cfg.rpn.train_post_nms
+    sg_stage = frozen_prefix_stage(
+        cfg.model.network,
+        cfg.model.freeze_blocks if freeze_blocks is None else freeze_blocks,
+        freeze_modules,
+    )
 
     def loss_fn(params, batch, keys):
         variables = {"params": params, "batch_stats": batch_stats}
-        feat = model.apply(variables, ingest_images(batch["image"]), method=FasterRCNN.backbone)
+        feat = model.apply(variables, ingest_images(batch["image"]),
+                           method=FasterRCNN.backbone, stop_grad_stage=sg_stage)
         cls_logits, bbreg = model.apply(variables, feat, method=FasterRCNN.rpn)
 
         # RPN losses

@@ -145,13 +145,14 @@ def train_one_step(
             cfg_c = cfg.replace(
                 data=dataclasses.replace(cfg.data, canvas_h=canvas[0], canvas_w=canvas[1])
             )
+            fkw = dict(freeze_blocks=freeze_blocks, freeze_modules=freeze_modules)
             if step == "joint":
-                fn = pipeline.make_joint_train_step(cfg_c, model, tx, batch_stats)
+                fn = pipeline.make_joint_train_step(cfg_c, model, tx, batch_stats, **fkw)
             elif is_rpn_step:
-                fn = pipeline.make_rpn_train_step(cfg_c, model, tx, batch_stats)
+                fn = pipeline.make_rpn_train_step(cfg_c, model, tx, batch_stats, **fkw)
             else:
                 fn = pipeline.make_det_train_step(
-                    cfg_c, model, tx, batch_stats, heads_only=(step == 4)
+                    cfg_c, model, tx, batch_stats, heads_only=(step == 4), **fkw
                 )
             step_fns[canvas] = jax.jit(fn, donate_argnums=(0,))
         return step_fns[canvas]

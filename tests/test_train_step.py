@@ -181,3 +181,54 @@ class TestJointTrainStep:
             "det_head/fc1/kernel",
         ):
             assert not np.array_equal(before[k], after[k]), k
+
+
+class TestFrozenPrefixStopGradient:
+    """The structural stop_gradient at the frozen-prefix boundary must be
+    update-identical to computing (and zeroing) the frozen gradients."""
+
+    def test_frozen_prefix_stage_resolution(self):
+        from faster_rcnn_tpu.parallel.freeze import frozen_prefix_stage
+
+        assert frozen_prefix_stage("resnet50", (1, 2, 3)) == 3
+        assert frozen_prefix_stage("resnet50", (2, 3)) == 0      # conv1 trains
+        assert frozen_prefix_stage("resnet50", (1, 3)) == 1      # gap at 2
+        assert frozen_prefix_stage("vgg16", (1, 2)) == 2
+        assert frozen_prefix_stage("vgg16", ()) == 0
+        assert frozen_prefix_stage("resnet50", (), ("backbone",)) == 4
+        assert frozen_prefix_stage("vgg16", (1,), ("backbone",)) == 5
+
+    @pytest.mark.parametrize("network", ["vgg16", "resnet50"])
+    def test_joint_updates_identical_with_and_without_cut(self, network):
+        cfg = tiny_config(network)
+        model, variables = init_model(jax.random.PRNGKey(3), cfg)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        tx = make_optimizer(
+            params, network, cfg.model.freeze_blocks, 1e-2,
+            weight_decay=1e-4, clip_grad_norm=10.0,
+        )
+
+        def run(freeze_blocks_arg):
+            state = pipeline.TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+            step = jax.jit(pipeline.make_joint_train_step(
+                cfg, model, tx, batch_stats, freeze_blocks=freeze_blocks_arg
+            ))
+            batch = tiny_batch(cfg, seed=11)
+            keys = jax.random.split(jax.random.PRNGKey(5), 2)
+            state, metrics = step(state, batch, keys)
+            state, metrics = step(state, batch, keys)
+            return state.params, metrics
+
+        # freeze_blocks=() forces stop_grad_stage=0 (the old full-backward
+        # graph); the default resolves to cfg.model.freeze_blocks -> a real cut
+        p_cut, m_cut = run(None)
+        p_ref, m_ref = run(())
+        assert float(m_cut["loss"]) == pytest.approx(float(m_ref["loss"]), abs=1e-5)
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(p_cut),
+            jax.tree_util.tree_leaves_with_path(p_ref),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=1e-6,
+                err_msg="/".join(str(k.key) for k in path))
