@@ -72,8 +72,10 @@ class RpnConfig:
     infer_pre_nms: int = 8000
     infer_post_nms: int = 300
     nms_iou: float = 0.7
-    # blocked-NMS tile: larger = fewer serial phases but more work per phase
-    nms_tile: int = 256
+    # blocked-NMS tile: larger = fewer serial phases but more work per phase.
+    # Exact-greedy for any tile; 512 measured fastest on v5e (6000->2000:
+    # 9.1/6.1/4.9/5.5 ms at tile 128/256/512/1024, B=16 — NOTES.md r3).
+    nms_tile: int = 512
 
     # Loss normalizers (loss_functions.py:8-11)
     n_cls: float = 256.0
