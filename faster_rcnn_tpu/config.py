@@ -144,6 +144,14 @@ class ModelConfig:
     freeze_blocks: Tuple[int, ...] = (1, 2, 3)
     # Compute dtype for conv/matmul heavy layers; params and box math stay fp32.
     compute_dtype: str = "bfloat16"
+    # ResNet stem-conv lowering.  'xla' (default, production): the nn.Conv
+    # lowering — measured 5.9 ms at B=16 608x1024 despite ~1% MXU util.
+    # 'pallas': the phase-split MXU kernel (ops/conv1_pallas.py), currently
+    # SLOWER on v5e (12.0 ms — XLA-side transpose + small-K matmuls; see the
+    # module docstring), kept as a tested experimental impl with automatic
+    # XLA fallback off-TPU; 'pallas_interpret' for kernel-exactness tests.
+    # Ignored by VGG16.
+    conv1_impl: str = "xla"
 
     @property
     def final_conv_filters(self) -> int:

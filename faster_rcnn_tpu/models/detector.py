@@ -51,7 +51,9 @@ class FasterRCNN(nn.Module):
             self.det_head_net = VggDetHead(num_classes=m.num_classes, dtype=dtype, name="det_head")
         elif m.network in ("resnet50", "resnet101"):
             depth = 50 if m.network == "resnet50" else 101
-            self.backbone_net = ResNetBackbone(depth=depth, dtype=dtype, name="backbone")
+            self.backbone_net = ResNetBackbone(
+                depth=depth, dtype=dtype, conv1_impl=m.conv1_impl,
+                name="backbone")
             self.det_head_net = ResNetDetHead(
                 num_classes=m.num_classes, depth=depth, dtype=dtype, name="det_head"
             )

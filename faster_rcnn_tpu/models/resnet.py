@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from faster_rcnn_tpu.models.layers import ChannelScale, FrozenBatchNorm
+from faster_rcnn_tpu.ops.conv1_pallas import conv1 as _conv1_dispatch
 
 _STAGE4_BLOCKS_50 = ["a", "b", "c", "d", "e", "f"]
 _STAGE4_BLOCKS_101 = ["a"] + [f"b{i}" for i in range(1, 23)]  # caffe naming a, b1..b22
@@ -89,6 +90,34 @@ def _stage(x, stage: int, blocks: Sequence[str], filters, first_strides, **kw):
     return x
 
 
+class Conv1(nn.Module):
+    """The 7x7/s2 stem conv with a swappable lowering.
+
+    Drop-in for ``nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME")`` —
+    the parameter tree (conv1/kernel [+ bias], lecun-normal / zeros, fp32)
+    and the XLA lowering are bit-identical to what ``nn.Conv`` produces, so
+    checkpoints, the Keras by-name contract, and the golden regressions are
+    unaffected.  ``impl='pallas'`` routes to the MXU kernel
+    (ops/conv1_pallas.py) on TPU; any other backend silently uses XLA (the
+    Pallas interpreter is never a sane production default)."""
+
+    use_bias: bool
+    dtype: Any
+    impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, x.shape[-1], 64), jnp.float32)
+        x = x.astype(self.dtype)
+        y = _conv1_dispatch(x, kernel.astype(self.dtype), impl=self.impl)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (64,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ResNetBackbone(nn.Module):
     """conv1 + stages 2-4: (B, H, W, 3) -> (B, ~H/16, ~W/16, 1024).
 
@@ -99,6 +128,7 @@ class ResNetBackbone(nn.Module):
 
     depth: int = 50  # 50 or 101
     dtype: Any = jnp.bfloat16
+    conv1_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, stop_grad_stage: int = 0):
@@ -114,10 +144,8 @@ class ResNetBackbone(nn.Module):
             return jax.lax.stop_gradient(x) if stop_grad_stage == stage else x
 
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding="SAME", use_bias=not caffe,
-            dtype=self.dtype, param_dtype=jnp.float32, name="conv1",
-        )(x)
+        x = Conv1(use_bias=not caffe, dtype=self.dtype,
+                  impl=self.conv1_impl, name="conv1")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn_conv1")(x)
         if caffe:
             x = ChannelScale(dtype=self.dtype, name="scale_conv1")(x)
