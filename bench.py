@@ -51,6 +51,39 @@ def die(msg: str) -> None:
     sys.exit(1)
 
 
+def wait_for_backend(attempts: int = 8, base_delay_s: float = 15.0) -> None:
+    """Bounded retry/backoff around backend init + a tiny compile.
+
+    The round-3 driver bench was voided by a transient tunnel outage
+    (BENCH_r03.json rc=1: 'Unable to initialize backend' at capture time
+    while the same tree had benched green hours earlier).  A transient
+    backend error must not void a round: retry with backoff and die loudly
+    only after every attempt fails.  Total worst-case wait ~13 min.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    last = None
+    for attempt in range(1, attempts + 1):
+        try:
+            x = jnp.ones((128, 128), jnp.bfloat16)
+            jax.block_until_ready(x @ x)
+            if attempt > 1:
+                print(f"# backend up after {attempt} attempts", file=sys.stderr)
+            return
+        except Exception as e:  # backend init/compile errors surface here
+            last = e
+            delay = base_delay_s * min(2 ** (attempt - 1), 8)
+            print(
+                f"# backend attempt {attempt}/{attempts} failed "
+                f"({type(e).__name__}: {str(e)[:200]}); retrying in {delay:.0f}s",
+                file=sys.stderr,
+            )
+            if attempt < attempts:
+                time.sleep(delay)
+    die(f"backend unavailable after {attempts} attempts: {last}")
+
+
 def compiled_flops(jitted, *args) -> float:
     """Total FLOPs of one call from XLA's cost analysis, or 0.0 if opaque."""
     try:
@@ -282,11 +315,28 @@ def main():
     if only not in ("all", "train", "infer"):
         die(f"unknown bench selector {only!r} (use: all | train | infer)")
 
+    wait_for_backend()
+
+    def run_resilient(fn, *args, **kw):
+        """One mid-bench retry: a tunnel hiccup during a metric should retry
+        that metric once (after re-probing the backend), not void the run."""
+        try:
+            fn(*args, **kw)
+        except SystemExit:
+            raise  # validation failures are final
+        except Exception as e:
+            print(f"# {fn.__name__}{args} failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); re-probing backend and retrying once",
+                  file=sys.stderr)
+            time.sleep(30)
+            wait_for_backend()
+            fn(*args, **kw)
+
     if only in ("all", "train"):
-        bench_training(batch=batch, iters=max(6, iters // 3), step="joint")
-        bench_training(batch=batch, iters=max(6, iters // 3), step="step2")
+        run_resilient(bench_training, batch=batch, iters=max(6, iters // 3), step="joint")
+        run_resilient(bench_training, batch=batch, iters=max(6, iters // 3), step="step2")
     if only in ("all", "infer"):
-        bench_inference(batch, iters)
+        run_resilient(bench_inference, batch, iters)
 
 
 if __name__ == "__main__":

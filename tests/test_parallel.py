@@ -166,6 +166,20 @@ class TestMultihost:
             np.asarray(keys), np.asarray(jax.random.split(jax.random.PRNGKey(0), 8))
         )
 
+    def test_is_initialized_flag_semantics(self, monkeypatch):
+        """Advisor r3: the trainer's late-init guard must key off the module
+        flag, not process_count()==1 (which falsely rejects a legitimately
+        initialized 1-process distributed run)."""
+        from faster_rcnn_tpu.parallel import multihost as mh
+
+        assert not mh.is_initialized()  # single process, never initialized
+        monkeypatch.setattr(mh, "_INITIALIZED", True)
+        assert mh.is_initialized()      # flag wins even at process_count==1
+        # a second maybe_initialize call is a no-op success once the flag is
+        # set (the CLI contract: first call at top of main did the work)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1")
+        assert mh.maybe_initialize() is True
+
     def test_record_sharding_partitions(self):
         from faster_rcnn_tpu.parallel import multihost as mh
 
