@@ -23,6 +23,11 @@ def main(argv=None):
     p.add_argument("--step", default="all",
                    help="1|2|3|4, comma list (e.g. 1,2), 'all', or 'joint' "
                         "(single-pass approximate-joint training)")
+    p.add_argument("--device_cache", action="store_true",
+                   help="upload the whole dataset to HBM (uint8) and train "
+                        "via the zero-H2D lax.scan loop "
+                        "(train/device_cache.py) — flip augmentation moves "
+                        "on-device, so --flip host doubling is disabled")
     args = p.parse_args(argv)
 
     if getattr(args, "multihost", False):
@@ -37,7 +42,7 @@ def main(argv=None):
     records, _ = load_dataset(
         args.voc_paths.split(","),
         args.img_set,
-        flip=args.flip,
+        flip=args.flip and not args.device_cache,
         resize_min=cfg.data.resize_min,
         resize_max=cfg.data.resize_max,
     )
@@ -49,11 +54,17 @@ def main(argv=None):
         steps = ("joint",)
     else:
         steps = tuple(int(s) for s in str(args.step).split(","))
+    if args.device_cache and not args.flip:
+        # on-device flip augmentation honors cfg.data.flip_augment
+        import dataclasses
+
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, flip_augment=False))
+    extra = (dict(multihost=args.multihost, uint8_pipeline=args.uint8_pipeline)
+             if not args.device_cache else {})
     results = run_four_step_training(
         cfg, records, class_mapping, args.workdir, steps=steps,
         batch_size=args.batch_size, save_frequency=args.save_frequency,
-        seed=args.seed, multihost=args.multihost,
-        uint8_pipeline=args.uint8_pipeline,
+        seed=args.seed, use_device_cache=args.device_cache, **extra,
     )
     for s, r in results.items():
         print(f"step {s} final metrics: {r.final_metrics}")

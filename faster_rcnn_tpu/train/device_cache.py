@@ -129,6 +129,7 @@ def make_scan_train_fn(
     step_fn: Callable,
     batch_size: int,
     has_rpn_vars: bool = False,
+    batch_sharding=None,
 ):
     """Wrap a pipeline step fn into (state, idx (K,B), flip (K,B), key, data
     [, rpn]) -> (state, stacked_metrics) running all K steps on device.
@@ -138,6 +139,12 @@ def make_scan_train_fn(
     exactly a make_*_train_step product — the scan body calls it unmodified,
     so numerics match the per-step loop given the same batch content and
     keys.
+
+    ``batch_sharding`` (a NamedSharding over the 'data' mesh axis) makes the
+    scanned loop data-parallel: the gathered per-step batch and RNG keys are
+    sharding-constrained batch-over-'data', so XLA partitions the whole step
+    (fwd + targets + bwd) across the mesh and inserts the gradient
+    all-reduce, exactly like trainer.train_one_step's per-step path.
     """
 
     def run(state, idx, flip, key, data, rpn_vars=None):
@@ -158,6 +165,12 @@ def make_scan_train_fn(
             }
             sub = jax.random.fold_in(key, step_i)
             keys = jax.random.split(sub, batch_size)
+            if batch_sharding is not None:
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(x, batch_sharding),
+                    batch,
+                )
+                keys = jax.lax.with_sharding_constraint(keys, batch_sharding)
             if has_rpn_vars:
                 state, metrics = step_fn(state, batch, keys, rpn_vars)
             else:
@@ -188,9 +201,27 @@ def epoch_schedule(
     rng = np.random.RandomState(seed)
     sizes = {c: b.n * (2 if flip_augment else 1) for c, b in buckets.items()}
     total = sum(sizes.values())
+    # Largest-remainder apportionment: per-bucket steps sum EXACTLY to
+    # total_steps (int(round(...)) per bucket could drift by a few steps and
+    # silently starve small buckets — advisor r3).  Every non-empty bucket
+    # gets >= 1 step whenever total_steps >= number of buckets.
+    canvases = list(buckets)
+    quotas = np.array([total_steps * sizes[c] / total for c in canvases])
+    alloc = np.floor(quotas).astype(int)
+    if total_steps >= len(canvases):
+        alloc = np.maximum(alloc, 1)
+    while alloc.sum() > total_steps:  # min-1 bump can overshoot; trim largest
+        over = np.where(alloc > 1, alloc - quotas, -np.inf)  # keep the min-1 floor
+        alloc[int(np.argmax(over))] -= 1
+    remainder = quotas - alloc
+    for _ in range(total_steps - int(alloc.sum())):
+        j = int(np.argmax(remainder))
+        alloc[j] += 1
+        remainder[j] -= 1.0
+    assert alloc.sum() == total_steps, (alloc, total_steps)
     plan: List[Tuple[Tuple[int, int], np.ndarray, np.ndarray]] = []
-    for canvas, b in buckets.items():
-        steps = int(round(total_steps * sizes[canvas] / total))
+    for canvas, steps in zip(canvases, (int(a) for a in alloc)):
+        b = buckets[canvas]
         if steps == 0:
             continue
         need = steps * batch_size
@@ -219,17 +250,34 @@ def train_cached(
     seed: int = 0,
     chunk_steps: int = 50,
     log_cb=print,
+    devices=None,
+    save_frequency: Optional[int] = None,
 ):
     """Drive one training step (1..4 or 'joint') from the device cache.
 
     Same optimizer/freeze/schedule wiring and checkpoint layout as
     trainer.train_one_step, but the inner loop is the scanned zero-H2D path.
-    Returns a TrainResult; the final checkpoint lands in workdir/step{step}
-    so cli.detect / cli.evaluate load it exactly like a loader-trained run.
+    Returns a TrainResult; checkpoints land in workdir/step{step} so
+    cli.detect / cli.evaluate load them exactly like a loader-trained run.
+
+    Parity with trainer.train_one_step on the reliability axes (VERDICT r3):
+      * data parallel: with >1 device (or ``devices`` given) the dataset is
+        uploaded to a ('data','model') mesh (replicated — the uint8 cache is
+        shared; each *host* still holds only its own record shard in
+        multihost runs) and every scanned step's batch is sharded over
+        'data', so the compute runs SPMD with the gradient all-reduce on ICI;
+      * checkpoint cadence: saves every ``save_frequency`` steps at chunk
+        boundaries, plus on SIGTERM/SIGINT (preemption);
+      * auto-resume: restarts from the latest workdir/step{step} checkpoint.
+        The sampling plan and per-chunk RNG keys are pure functions of
+        (seed, chunk index), so a resumed run replays the exact remaining
+        schedule — final state is identical to an uninterrupted run.
     """
     import os
+    import signal
 
     from faster_rcnn_tpu.models.detector import init_model
+    from faster_rcnn_tpu.parallel import mesh as mesh_lib
     from faster_rcnn_tpu.parallel.freeze import make_optimizer
     from faster_rcnn_tpu.train import pipeline
     from faster_rcnn_tpu.train.schedule import schedule_from_phases, total_iterations
@@ -238,6 +286,14 @@ def train_cached(
 
     is_rpn_step = step in (1, 3) or step == "joint"
     batch_size = batch_size or cfg.train.batch_size
+    save_frequency = save_frequency or cfg.train.save_frequency
+
+    avail = list(devices) if devices else jax.devices()
+    n_data = min(len(avail), batch_size)
+    use_mesh = n_data > 1 and batch_size % n_data == 0
+    the_mesh = mesh_lib.create_mesh(devices=avail[:n_data]) if use_mesh else None
+    data_sharding = mesh_lib.replicated(the_mesh) if use_mesh else None
+    b_sharding = mesh_lib.batch_sharding(the_mesh) if use_mesh else None
 
     model, variables = init_model(jax.random.PRNGKey(seed), cfg)
     batch_stats = variables.get("batch_stats", {})
@@ -258,12 +314,23 @@ def train_cached(
         else jax.device_put({"params": rpn_params, "batch_stats": batch_stats})
     )
 
-    buckets = build_device_dataset(records, class_mapping, cfg)
+    buckets = build_device_dataset(records, class_mapping, cfg,
+                                   sharding=data_sharding)
     total = total_iterations(cfg.train.phases)
     plan = epoch_schedule(
         buckets, total, batch_size, seed=seed + 17,
         flip_augment=cfg.data.flip_augment,
     )
+
+    ckpt_dir = os.path.join(workdir, f"step{step}")
+    start = ckpt_lib.latest_step(ckpt_dir)
+    if start is not None:
+        restored = ckpt_lib.restore(ckpt_dir, start, template={"state": state})
+        state = restored["state"]
+        log_cb(f"[cached step {step}] resumed from iteration {start}")
+        start = int(start)
+    else:
+        start = 0
 
     scan_fns = {}
 
@@ -282,42 +349,78 @@ def train_cached(
                     cfg_c, model, tx, batch_stats, heads_only=(step == 4), **fkw
                 )
             scan_fns[canvas] = make_scan_train_fn(
-                fn, batch_size, has_rpn_vars=not is_rpn_step
+                fn, batch_size, has_rpn_vars=not is_rpn_step,
+                batch_sharding=b_sharding,
             )
         return scan_fns[canvas]
 
-    key = jax.random.PRNGKey(seed + 1000 * (step if isinstance(step, int) else 5))
+    base_key = jax.random.PRNGKey(seed + 1000 * (step if isinstance(step, int) else 5))
     metrics = {}
     done = 0
-    # interleave buckets chunk-by-chunk so LR schedule position (state.step)
-    # advances roughly like the mixed-batch loader
-    cursors = [[canvas, idx, flip, 0] for canvas, idx, flip in plan]
-    while any(c[3] < c[1].shape[0] for c in cursors):
-        for c in cursors:
-            canvas, idx, flip, pos = c
-            if pos >= idx.shape[0]:
-                continue
-            k = min(chunk_steps, idx.shape[0] - pos)
-            data_args = buckets[canvas]
-            fn = scan_fn_for(canvas)
-            key, sub = jax.random.split(key)
-            args = (
-                state,
-                jnp.asarray(idx[pos:pos + k]),
-                jnp.asarray(flip[pos:pos + k]),
-                sub,
-                dict(images=data_args.images, gt_boxes=data_args.gt_boxes,
-                     gt_class=data_args.gt_class, gt_valid=data_args.gt_valid,
-                     img_hw=data_args.img_hw),
-            )
-            if is_rpn_step:
-                state, mstack = fn(*args)
-            else:
-                state, mstack = fn(*args, rpn_vs)
-            c[3] = pos + k
-            done += k
-            metrics = {kk: float(v[-1]) for kk, v in mstack.items()}
-            log_cb(f"[cached step {step}] {done}/{total} steps {metrics}")
-    ckpt_dir = os.path.join(workdir, f"step{step}")
-    ckpt_lib.save(ckpt_dir, done, {"state": state}, wait=True)
+    chunk_idx = 0
+    last_saved = start
+
+    # Preemption safety (reference loses up to 2,000 iters, train_util.py:58-64;
+    # trainer.py has the same handler for the per-step loop).
+    current = {"state": state, "iter": start}
+    prev_handlers = {}
+
+    def _save_and_exit(signum, frame):
+        if current["iter"] > last_saved:  # not already on disk (e.g. resume skip)
+            log_cb(f"[cached step {step}] signal {signum}: checkpointing at "
+                   f"iter {current['iter']}")
+            ckpt_lib.save(ckpt_dir, current["iter"], {"state": current["state"]},
+                          wait=True)
+        raise SystemExit(128 + signum)
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _save_and_exit)
+        except ValueError:  # non-main thread
+            pass
+
+    try:
+        # interleave buckets chunk-by-chunk so LR schedule position
+        # (state.step) advances roughly like the mixed-batch loader
+        cursors = [[canvas, idx, flip, 0] for canvas, idx, flip in plan]
+        while any(c[3] < c[1].shape[0] for c in cursors):
+            for c in cursors:
+                canvas, idx, flip, pos = c
+                if pos >= idx.shape[0]:
+                    continue
+                k = min(chunk_steps, idx.shape[0] - pos)
+                # per-chunk key is a pure function of the chunk index, so a
+                # resumed run replays the identical remaining key stream
+                sub = jax.random.fold_in(base_key, chunk_idx)
+                chunk_idx += 1
+                c[3] = pos + k
+                done += k
+                if done <= start:  # already covered by the restored checkpoint
+                    continue
+                data_args = buckets[canvas]
+                fn = scan_fn_for(canvas)
+                args = (
+                    state,
+                    jnp.asarray(idx[pos:pos + k]),
+                    jnp.asarray(flip[pos:pos + k]),
+                    sub,
+                    dict(images=data_args.images, gt_boxes=data_args.gt_boxes,
+                         gt_class=data_args.gt_class, gt_valid=data_args.gt_valid,
+                         img_hw=data_args.img_hw),
+                )
+                if is_rpn_step:
+                    state, mstack = fn(*args)
+                else:
+                    state, mstack = fn(*args, rpn_vs)
+                current["state"], current["iter"] = state, done
+                metrics = {kk: float(v[-1]) for kk, v in mstack.items()}
+                log_cb(f"[cached step {step}] {done}/{total} steps {metrics}")
+                if done - last_saved >= save_frequency and done < total:
+                    ckpt_lib.save(ckpt_dir, done, {"state": state})
+                    last_saved = done
+    finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+    if done > last_saved or last_saved == 0:
+        ckpt_lib.save(ckpt_dir, done, {"state": state}, wait=True)
     return TrainResult(params=state.params, batch_stats=batch_stats, final_metrics=metrics)

@@ -177,12 +177,15 @@ def train_one_step(
         from faster_rcnn_tpu.parallel import multihost as mh
 
         mh.maybe_initialize()
-        if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        if os.environ.get("JAX_COORDINATOR_ADDRESS") and not mh.is_initialized():
             # a coordinator is configured but distributed init never happened
             # (it must run before ANY JAX call — init_model above already
             # compiled).  Degenerating silently would train N independent
             # copies; fail loudly instead.  The CLI initializes at the top of
-            # main, before any JAX use (cli/train.py).
+            # main, before any JAX use (cli/train.py).  is_initialized()
+            # tracks successful init in a module flag, so a legitimately
+            # initialized 1-process distributed run (JAX_NUM_PROCESSES=1)
+            # passes this guard (advisor r3).
             raise RuntimeError(
                 "JAX_COORDINATOR_ADDRESS is set but jax.distributed is not "
                 "initialized; call parallel.multihost.maybe_initialize() "
@@ -290,9 +293,30 @@ def run_four_step_training(
     class_mapping: Dict[str, int],
     workdir: str,
     steps: Sequence[int] = (1, 2, 3, 4),
+    use_device_cache: bool = False,
     **kw,
 ) -> Dict[int, TrainResult]:
-    """Drive steps 1..4 with the reference's weight handoff."""
+    """Drive steps 1..4 with the reference's weight handoff.
+
+    ``use_device_cache=True`` routes each step through the zero-H2D scanned
+    loop (train/device_cache.py) instead of the per-step host loader —
+    records must then be UNFLIPPED (flip augmentation runs on device).
+    Options specific to the loader path (multihost, uint8_pipeline,
+    log_every, max_steps) are rejected there rather than silently ignored.
+    """
+    if use_device_cache:
+        from faster_rcnn_tpu.train.device_cache import train_cached
+
+        bad = [k for k in ("multihost", "uint8_pipeline", "log_every", "max_steps")
+               if kw.get(k)]
+        if bad:
+            raise ValueError(f"device-cache training does not support: {bad}")
+        kw = {k: v for k, v in kw.items() if k in
+              ("batch_size", "save_frequency", "seed", "devices", "chunk_steps")}
+        train_fn = train_cached
+    else:
+        train_fn = train_one_step
+
     results: Dict[int, TrainResult] = {}
     model, variables = init_model(jax.random.PRNGKey(cfg.train.seed), cfg)
     fresh = variables["params"]
@@ -300,13 +324,13 @@ def run_four_step_training(
     step1 = step2 = step3 = None
     for s in steps:
         if s == "joint":
-            r = train_one_step("joint", cfg, records, class_mapping, workdir, **kw)
+            r = train_fn("joint", cfg, records, class_mapping, workdir, **kw)
         elif s == 1:
-            r = train_one_step(1, cfg, records, class_mapping, workdir, **kw)
+            r = train_fn(1, cfg, records, class_mapping, workdir, **kw)
             step1 = r.params
         elif s == 2:
             rpn = step1 if step1 is not None else _load_step_params(workdir, 1, fresh)
-            r = train_one_step(
+            r = train_fn(
                 2, cfg, records, class_mapping, workdir,
                 init_params=fresh, rpn_params=rpn, **kw,
             )
@@ -315,12 +339,12 @@ def run_four_step_training(
             det2 = step2 if step2 is not None else _load_step_params(workdir, 2, fresh)
             # backbone from step 2, rpn head fresh (train_rpn_step3.py:92-93)
             init = merge_params(fresh, det2, ["backbone"])
-            r = train_one_step(3, cfg, records, class_mapping, workdir, init_params=init, **kw)
+            r = train_fn(3, cfg, records, class_mapping, workdir, init_params=init, **kw)
             step3 = r.params
         elif s == 4:
             rpn3 = step3 if step3 is not None else _load_step_params(workdir, 3, fresh)
             init = merge_params(fresh, rpn3, ["backbone", "rpn_head"])
-            r = train_one_step(
+            r = train_fn(
                 4, cfg, records, class_mapping, workdir,
                 init_params=init, rpn_params=rpn3, **kw,
             )

@@ -75,6 +75,34 @@ def test_steps_1_2_with_handoff_and_resume(tiny_voc, tmp_path):
     np.testing.assert_array_equal(w_ck, w_rs)
 
 
+def test_four_step_via_device_cache(tiny_voc, tmp_path):
+    """run_four_step_training(use_device_cache=True): the zero-H2D scanned
+    loop drives the same weight handoff (steps 1->2) and checkpoint layout
+    as the loader path, and loader-only options are rejected loudly."""
+    cfg = cfg_for_tiny_voc()
+    records, _ = load_dataset(
+        [tiny_voc], "trainval", flip=False,
+        resize_min=cfg.data.resize_min, resize_max=cfg.data.resize_max,
+    )
+    workdir = str(tmp_path / "work_dc")
+    results = run_four_step_training(
+        cfg, records, VOC_CLASS_MAPPING, workdir,
+        steps=(1, 2), batch_size=2, save_frequency=100, seed=0,
+        use_device_cache=True,
+    )
+    assert set(results) == {1, 2}
+    for s, r in results.items():
+        assert np.isfinite(r.final_metrics["loss"]), (s, r.final_metrics)
+    assert ckpt_lib.latest_step(os.path.join(workdir, "step1")) == 4
+    assert ckpt_lib.latest_step(os.path.join(workdir, "step2")) == 4
+
+    with pytest.raises(ValueError, match="does not support"):
+        run_four_step_training(
+            cfg, records, VOC_CLASS_MAPPING, workdir, steps=(1,),
+            use_device_cache=True, multihost=True,
+        )
+
+
 @pytest.mark.slow
 def test_steps_3_4_handoff(tiny_voc, tmp_path):
     """Steps 3 (frozen-backbone RPN) and 4 (heads-only detector) with the
