@@ -144,14 +144,14 @@ class ModelConfig:
     freeze_blocks: Tuple[int, ...] = (1, 2, 3)
     # Compute dtype for conv/matmul heavy layers; params and box math stay fp32.
     compute_dtype: str = "bfloat16"
-    # ResNet stem-conv lowering.  'xla' (default, production): the nn.Conv
-    # lowering — measured 5.9 ms at B=16 608x1024 despite ~1% MXU util.
-    # 'pallas': the phase-split MXU kernel (ops/conv1_pallas.py), currently
-    # SLOWER on v5e (12.0 ms — XLA-side transpose + small-K matmuls; see the
-    # module docstring), kept as a tested experimental impl with automatic
-    # XLA fallback off-TPU; 'pallas_interpret' for kernel-exactness tests.
-    # Ignored by VGG16.
-    conv1_impl: str = "xla"
+    # ResNet stem-conv lowering (ops/conv1_pallas.py; ignored by VGG16).
+    # 'pallas_v2' (default, production): selection-einsum phase split + one
+    # K=192 MXU dot per output row — measured 4.02 ms at B=16 608x1024 bf16
+    # on v5e vs 'xla' 5.82 ms (the nn.Conv lowering, ~1% MXU util at C=3)
+    # and 'pallas' (v1) 11.8 ms.  Numerics: 2.5e-3 max-rel vs XLA in bf16
+    # (same accumulation contract); automatic XLA fallback off-TPU, so CPU
+    # goldens are bit-identical.  '*_interpret' for kernel-exactness tests.
+    conv1_impl: str = "pallas_v2"
 
     @property
     def final_conv_filters(self) -> int:

@@ -168,14 +168,136 @@ def _bwd(interpret, res, g):
 conv1_pallas.defvjp(_fwd, _bwd)
 
 
+# --------------------------------------------------------------------------
+# v2: selection-matrix phase split (MXU einsum, no strided XLA transpose) +
+# one K=192 matmul per output row built in-kernel from contiguous row reads.
+#
+# v1's post-mortem (NOTES.md r3): the XLA-side phase-plane transpose costs
+# ~4 ms (lane-granular stride-2 gather) and the per-row K=48 dots occupy
+# <20% of an MXU tile.  v2 fixes both:
+#   * the even/odd column split is a 0/1 SELECTION MATMUL
+#     P[b,c,p,h,j] = sum_w xpad[b,h,w,c] * S[w,p,j], S[w,p,j] = [w == 2j+p]
+#     — the MXU does the "transpose" at matmul speed, and multiplying by
+#     1.0 in bf16 is exact;
+#   * the kernel reads CONTIGUOUS 8-row blocks per output row (the 7x7/s2
+#     window rows 2y..2y+7 of each plane, no stride), stacks the four
+#     column shifts o = dx//2 along K via three lane-rolls of the (48, NL)
+#     patch block, and issues ONE (64x192)@(192xNL) dot — K util 75%
+#     (192/256 on two MXU passes) vs v1's 37.5%, and 4x fewer dispatches.
+# Contamination from the cyclic rolls lands in lanes >= NL-3, all of which
+# are dead padding (w_out <= NL-125).
+# --------------------------------------------------------------------------
+
+
+def _phase_planes_v2(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> P (B, 2C, Hp, NL) with
+    P[b, c*2+p, i, j] = xpad[b, i, 2j+p, c] via a selection einsum."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (2, 4), (2, 4), (0, 0)))
+    hp, wp = h + 6, w + 6
+    nj = (wp + 1) // 2
+    nl = _round_up(nj, 128)
+    wi = jnp.arange(wp)[:, None, None]
+    pi = jnp.arange(2)[None, :, None]
+    ji = jnp.arange(nl)[None, None, :]
+    sel = ((wi == 2 * ji + pi) & (ji < nj)).astype(x.dtype)
+    p = jnp.einsum("bhwc,wpj->bcphj", xp, sel)
+    return p.reshape(b, 2 * c, hp, nl)
+
+
+def _pack_weights_v2(w: jnp.ndarray) -> jnp.ndarray:
+    """(7, 7, C, 64) -> W2m (64, 48C/3*4? = 64C... ) with
+    W2m[m, 48*o + (c*2+p)*8 + dy] = w[dy, 2*o+p, c, m] (zero pad taps)."""
+    c, m = w.shape[2], w.shape[3]
+    wp = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))   # (8, 8, C, M)
+    wp = wp.reshape(8, 4, 2, c, m)                       # (dy, o, p, c, m)
+    wp = wp.transpose(4, 1, 3, 2, 0)                     # (m, o, c, p, dy)
+    return wp.reshape(m, 4 * c * 16)
+
+
+def _kernel_v2(a_ref, b_ref, w_ref, o_ref, *, rows: int, w_out: int, n_cp: int):
+    """Block j = ``rows`` output rows.  a_ref/b_ref are the SAME plane array
+    with j / j+1 index maps: together they hold input rows
+    [2*rows*j, 2*rows*j + 4*rows) — every slice below is static, so Mosaic
+    gets aligned vector loads and Pallas double-buffers the streams."""
+    nl = a_ref.shape[-1]
+    per_cp = [
+        jnp.concatenate([a_ref[0, cp], b_ref[0, cp]], axis=0)  # (4*rows, nl)
+        for cp in range(n_cp)
+    ]
+    for r in range(rows):
+        q0 = jnp.concatenate(
+            [pc[2 * r:2 * r + 8] for pc in per_cp], axis=0
+        )                                                  # (8*n_cp, nl)
+        # static left-shift by o lanes via slice+concat (Mosaic's rotate op
+        # rejects 16-bit data; the wrapped tail lands in dead padding lanes,
+        # w_out <= nl-125, exactly like the cyclic roll it replaces)
+        qp = jnp.concatenate(
+            [q0] + [jnp.concatenate([q0[:, o:], q0[:, :o]], axis=1)
+                    for o in (1, 2, 3)], axis=0
+        )                                                  # (32*n_cp, nl)
+        acc = jnp.dot(w_ref[...], qp, preferred_element_type=jnp.float32)
+        o_ref[0, r] = acc.T[:w_out].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv1_pallas_v2_impl(x, w, interpret=False):
+    b, h, width, c = x.shape
+    m = w.shape[-1]
+    dt = x.dtype
+    p = _phase_planes_v2(x)
+    w2 = _pack_weights_v2(w.astype(dt))
+    n_cp, hp, nl = p.shape[1], p.shape[2], p.shape[3]
+    ys, w_out = h // 2, width // 2
+    rows = next(r for r in (8, 4, 2, 1) if ys % r == 0)
+    n_blocks = ys // rows
+    blk = 2 * rows  # input rows consumed per output block
+    # pad the row dim to a whole number of blocks covering index j+1 for the
+    # last j (see _kernel_v2); rounding up keeps every block fully in bounds
+    rows_pad = max(hp, (n_blocks + 1) * blk)
+    rows_pad = (rows_pad + blk - 1) // blk * blk
+    p = jnp.pad(p, ((0, 0), (0, 0), (0, rows_pad - hp), (0, 0)))
+    grid = (b, n_blocks)
+    return pl.pallas_call(
+        functools.partial(_kernel_v2, rows=rows, w_out=w_out, n_cp=n_cp),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n_cp, blk, nl), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((1, n_cp, blk, nl), lambda i, j: (i, 0, j + 1, 0)),
+            pl.BlockSpec((m, 64 * c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rows, w_out, m), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, ys, w_out, m), dt),
+        interpret=interpret,
+    )(p, p, w2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv1_pallas_v2(x, w, interpret=False):
+    """v2 stem conv: drop-in for ``conv1_xla`` (see module notes)."""
+    return _conv1_pallas_v2_impl(x, w, interpret)
+
+
+def _fwd_v2(x, w, interpret=False):
+    return conv1_pallas_v2(x, w, interpret), (x, w)
+
+
+conv1_pallas_v2.defvjp(_fwd_v2, _bwd)
+
+
 def conv1(x, w, impl: str = "xla"):
-    """Dispatch: 'pallas' uses the MXU kernel on TPU (XLA elsewhere — the
-    interpreter is never a sane production default, cf. roi_align_batched);
-    'pallas_interpret' forces the interpreter (tests); 'xla' the reference
-    lowering."""
-    if impl == "pallas" and jax.default_backend() == "tpu" \
-            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+    """Dispatch: 'pallas'/'pallas_v2' use the MXU kernels on TPU (XLA
+    elsewhere — the interpreter is never a sane production default, cf.
+    roi_align_batched); 'pallas_interpret'/'pallas_v2_interpret' force the
+    interpreter (tests); 'xla' the reference lowering."""
+    on_tpu = jax.default_backend() == "tpu"
+    even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+    if impl == "pallas" and on_tpu and even:
         return conv1_pallas(x, w)
+    if impl == "pallas_v2" and on_tpu and even:
+        return conv1_pallas_v2(x, w)
     if impl == "pallas_interpret":
         return conv1_pallas(x, w, interpret=True)
+    if impl == "pallas_v2_interpret":
+        return conv1_pallas_v2(x, w, interpret=True)
     return conv1_xla(x, w)

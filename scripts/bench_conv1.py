@@ -18,7 +18,9 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-from faster_rcnn_tpu.ops.conv1_pallas import conv1_pallas, conv1_xla  # noqa: E402
+from faster_rcnn_tpu.ops.conv1_pallas import (  # noqa: E402
+    _phase_planes_v2, conv1_pallas, conv1_pallas_v2, conv1_xla,
+)
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 ITERS = int(sys.argv[2]) if len(sys.argv) > 2 else 30
@@ -60,12 +62,25 @@ def main():
         yb = conv1_pallas(x1, w1).astype(jnp.float32)
         return jnp.max(jnp.abs(ya - yb)) / (jnp.max(jnp.abs(ya)) + 1e-9)
 
+    @jax.jit
+    def relerr_v2(x1, w1):
+        ya = conv1_xla(x1, w1).astype(jnp.float32)
+        yb = conv1_pallas_v2(x1, w1).astype(jnp.float32)
+        return jnp.max(jnp.abs(ya - yb)) / (jnp.max(jnp.abs(ya)) + 1e-9)
+
     err = float(relerr(x[:1], w))
     print(f"max rel err (pallas vs xla, B=1): {err:.2e}", flush=True)
     assert err < 2e-2, "kernel numerics diverge on this backend"
+    err2 = float(relerr_v2(x[:1], w))
+    print(f"max rel err (pallas_v2 vs xla, B=1): {err2:.2e}", flush=True)
+    assert err2 < 2e-2, "v2 kernel numerics diverge on this backend"
 
     chain_time("conv1 XLA", conv1_xla, x, w)
     chain_time("conv1 pallas", lambda a, b: conv1_pallas(a, b), x, w)
+    chain_time("conv1 pallas_v2", lambda a, b: conv1_pallas_v2(a, b), x, w)
+    # isolate the v2 XLA-side phase-split einsum cost (mean over the FULL
+    # plane tensor in chain_time's step — no slice for XLA to DCE through)
+    chain_time("v2 phase einsum only", lambda a, b: _phase_planes_v2(a), x, w)
 
 
 if __name__ == "__main__":

@@ -136,6 +136,33 @@ class TestConv1Pallas:
             np.testing.assert_allclose(np.asarray(u), np.asarray(v),
                                        rtol=1e-4, atol=1e-4)
 
+    def test_v2_matches_xla_reference(self, rng):
+        from faster_rcnn_tpu.ops.conv1_pallas import conv1_pallas_v2, conv1_xla
+
+        for (b, h, w) in [(2, 16, 24), (1, 32, 64), (2, 64, 256)]:
+            x = jnp.asarray(rng.standard_normal((b, h, w, 3)).astype(np.float32))
+            k = jnp.asarray(rng.standard_normal((7, 7, 3, 64)).astype(np.float32))
+            got = conv1_pallas_v2(x, k, True)
+            want = conv1_xla(x, k)
+            assert got.shape == (b, h // 2, w // 2, 64)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    def test_v2_gradients_match_xla(self, rng):
+        """v2's custom VJP replays the XLA conv transpose; with a LINEAR
+        loss the cotangent is input-independent, so grads are bit-equal."""
+        from faster_rcnn_tpu.ops.conv1_pallas import conv1_pallas_v2, conv1_xla
+
+        x = jnp.asarray(rng.standard_normal((1, 16, 32, 3)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((7, 7, 3, 64)).astype(np.float32))
+        ga = jax.grad(lambda x, k: jnp.sum(conv1_pallas_v2(x, k, True)),
+                      argnums=(0, 1))(x, k)
+        gb = jax.grad(lambda x, k: jnp.sum(conv1_xla(x, k)),
+                      argnums=(0, 1))(x, k)
+        for u, v in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                       rtol=1e-5, atol=1e-5)
+
     def test_module_param_tree_and_xla_path_identical(self, rng):
         """Conv1 (the swappable stem module) must be indistinguishable from
         the nn.Conv it replaced on the default path: same param names,
