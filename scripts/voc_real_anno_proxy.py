@@ -67,6 +67,28 @@ def inject_reg_slice_bug():
     return orig
 
 
+def _load_seed_params(seed_from: str, fresh_params):
+    """Load a params tree to act as the 'pretrained' seed source.
+
+    ``seed_from`` is either a proxy workdir containing a stepjoint checkpoint
+    or a Keras-layout h5 file (transplanted into a copy of ``fresh_params``
+    via utils/keras_import.py — the exact production ImageNet path).  Only
+    the backbone tree is used by the caller, mirroring the reference's
+    ImageNet ``by_name`` seeding of every step's fresh model
+    (resnet.py:481-485,545-551).
+    """
+    if seed_from.endswith(".h5"):
+        from faster_rcnn_tpu.utils.keras_import import load_keras_h5
+
+        params, _, loaded = load_keras_h5(seed_from, fresh_params)
+        print(f"seeded from h5 {seed_from}: {len(loaded)} layers")
+        return params
+    from faster_rcnn_tpu.utils import checkpoint as ckpt_lib
+
+    restored = ckpt_lib.restore(os.path.join(seed_from, "stepjoint"))
+    return restored["state"]["params"]
+
+
 def _train_device_cached(args, data: str, workdir: str) -> None:
     """Train via the device-resident zero-H2D scan loop (train/device_cache.py)
     with the same config the CLI would build — required on the dev tunnel
@@ -103,21 +125,35 @@ def _train_device_cached(args, data: str, workdir: str) -> None:
     )
     print(f"{len(records)} records -> device cache")
 
+    seed_params = None
+    if args.seed_from:
+        import jax as _jax
+
+        from faster_rcnn_tpu.models.detector import init_model as _im
+
+        _, _vars = _im(_jax.random.PRNGKey(cfg.train.seed), cfg)
+        seed_params = _load_seed_params(args.seed_from, _vars["params"])
+
     if args.mode == "joint":
         train_cached("joint", cfg, records, VOC_CLASS_MAPPING, workdir,
-                     batch_size=args.batch)
+                     batch_size=args.batch,
+                     init_params=(merge_params(
+                         _fresh_params(cfg), seed_params, ["backbone"])
+                         if seed_params is not None else None))
         return
-    # 4-step alternating scheme with the reference handoff (trainer.py wiring)
-    import jax
-
-    from faster_rcnn_tpu.models.detector import init_model
-
-    _, variables = init_model(jax.random.PRNGKey(cfg.train.seed), cfg)
-    fresh = variables["params"]
+    # 4-step alternating scheme with the reference handoff (trainer.py
+    # wiring).  With --seed_from, every step's fresh model gets the seed
+    # backbone transplanted, exactly like the reference's ImageNet by_name
+    # loads in steps 1 and 2 (train_rpn_step1.py:55-90, train_det_step2.py).
+    fresh = _fresh_params(cfg)
+    init1 = (merge_params(fresh, seed_params, ["backbone"])
+             if seed_params is not None else None)
+    init2 = (merge_params(fresh, seed_params, ["backbone"])
+             if seed_params is not None else fresh)
     r1 = train_cached(1, cfg, records, VOC_CLASS_MAPPING, workdir,
-                      batch_size=args.batch)
+                      batch_size=args.batch, init_params=init1)
     r2 = train_cached(2, cfg, records, VOC_CLASS_MAPPING, workdir,
-                      batch_size=args.batch, init_params=fresh,
+                      batch_size=args.batch, init_params=init2,
                       rpn_params=r1.params)
     init3 = merge_params(fresh, r2.params, ["backbone"])
     r3 = train_cached(3, cfg, records, VOC_CLASS_MAPPING, workdir,
@@ -126,6 +162,15 @@ def _train_device_cached(args, data: str, workdir: str) -> None:
     train_cached(4, cfg, records, VOC_CLASS_MAPPING, workdir,
                  batch_size=args.batch, init_params=init4,
                  rpn_params=r3.params)
+
+
+def _fresh_params(cfg):
+    import jax
+
+    from faster_rcnn_tpu.models.detector import init_model
+
+    _, variables = init_model(jax.random.PRNGKey(cfg.train.seed), cfg)
+    return variables["params"]
 
 
 def main():
@@ -144,10 +189,23 @@ def main():
     p.add_argument("--pre_nms", type=int, default=0,
                    help="override rpn.train_pre_nms (e.g. 6000 to validate "
                         "the Detectron default against the reference's 12000)")
+    p.add_argument("--tag", default="",
+                   help="suffix for the workdir/dets dirs so experiment "
+                        "variants (schedules, seeding) don't collide — "
+                        "train_cached auto-resumes from an existing workdir "
+                        "checkpoint, so reusing one would skip training")
+    p.add_argument("--seed_from", default="",
+                   help="'pretrained' init source: a proxy workdir with a "
+                        "stepjoint checkpoint, or a Keras-layout .h5 "
+                        "(loaded via utils/keras_import — the production "
+                        "ImageNet path).  The backbone tree seeds every "
+                        "step's fresh model, mirroring the reference's "
+                        "by_name ImageNet loads.")
     args = p.parse_args()
 
     data = os.path.join(args.base, "VOC")
-    workdir = os.path.join(args.base, f"work_{args.mode}")
+    suffix = f"_{args.tag}" if args.tag else ""
+    workdir = os.path.join(args.base, f"work_{args.mode}{suffix}")
     build_dataset(data, args.limit)
 
     from faster_rcnn_tpu.cli import detect as detect_cli
@@ -171,7 +229,7 @@ def main():
         print(f"training ({args.mode}) took {time.time()-t0:.0f}s")
 
     def run_eval(tag: str):
-        dets = os.path.join(args.base, f"dets_{args.mode}_{tag}")
+        dets = os.path.join(args.base, f"dets_{args.mode}{suffix}_{tag}")
         t0 = time.time()
         detect_cli.main(common + [
             "--img_set", "val", "--workdir", workdir,
