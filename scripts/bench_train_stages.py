@@ -99,6 +99,24 @@ def main():
 
     t_bb_fb = chain_time("backbone fwd+bwd(params)", bb_fb, img0)
 
+    # --- backbone fwd+bwd at the JOINT frozen-prefix cut (production path)
+    from faster_rcnn_tpu.parallel.freeze import frozen_prefix_stage
+
+    sg = frozen_prefix_stage(cfg.model.network, cfg.model.freeze_blocks)
+
+    def bb_fb_frozen(x):
+        def loss(p):
+            feat = model.apply({"params": p, "batch_stats": batch_stats}, x,
+                               method=FasterRCNN.backbone, stop_grad_stage=sg)
+            return jnp.sum(feat.astype(jnp.float32))
+        val, grads = jax.value_and_grad(loss)(params)
+        gs = sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                 for l in jax.tree_util.tree_leaves(grads)[-3:])
+        return feedback(x, val + gs)
+
+    t_bb_fbf = chain_time(f"backbone fwd+bwd(frozen prefix, sg={sg})",
+                          bb_fb_frozen, img0)
+
     # --- rpn head fwd (on features)
     feat0 = jax.block_until_ready(
         jax.jit(lambda x: model.apply(vs, x, method=FasterRCNN.backbone))(img0))
@@ -108,6 +126,19 @@ def main():
         return feedback(f, jnp.sum(cls_l) + jnp.sum(reg))
 
     t_rpn = chain_time("rpn head fwd", rpn_fwd, feat0)
+
+    # --- rpn head fwd+bwd(params) — the joint step differentiates it
+    def rpn_fb(f):
+        def loss(p):
+            cls_l, reg = model.apply({"params": p, "batch_stats": batch_stats},
+                                     f, method=FasterRCNN.rpn)
+            return jnp.sum(cls_l) + jnp.sum(reg)
+        val, grads = jax.value_and_grad(loss)(params)
+        gs = sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                 for l in jax.tree_util.tree_leaves(grads)[-3:])
+        return feedback(f, val + gs)
+
+    t_rpn_fb = chain_time("rpn head fwd+bwd(params)", rpn_fb, feat0)
 
     # --- rpn target gen (vmap, device)
     import functools
@@ -230,6 +261,22 @@ def main():
     # --- full joint step (fwd+bwd+optimizer)
     tx = make_optimizer(params, cfg.model.network, cfg.model.freeze_blocks,
                         1e-4, weight_decay=1e-4, clip_grad_norm=10.0)
+
+    # --- optimizer update alone (clip + SGDM + decay over the param tree)
+    import optax
+
+    grads0 = jax.device_put(jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 1e-6), params))
+    opt0 = jax.device_put(tx.init(params))
+
+    def opt_step(carry):
+        p, o = carry
+        updates, o = tx.update(grads0, o, p)
+        p = optax.apply_updates(p, updates)
+        return (p, o)
+
+    t_opt = chain_time("optimizer update alone",
+                       opt_step, (jax.device_put(params), opt0))
     state = pipeline.TrainState(
         jax.tree_util.tree_map(jnp.array, params), tx.init(params),
         jnp.zeros((), jnp.int32))
@@ -259,7 +306,16 @@ def main():
 
     print("\nsummary (ms/iter):")
     print(f"  backbone fwd {t_bb_fwd:.1f} | fwd+bwd {t_bb_fb:.1f} "
-          f"| rpn {t_rpn:.1f} | rpn_tgt {t_rpntg:.1f}")
+          f"| fwd+bwd(frozen sg={sg}) {t_bb_fbf:.1f} "
+          f"| rpn {t_rpn:.1f} | rpn_fb {t_rpn_fb:.1f} | rpn_tgt {t_rpntg:.1f}")
+    print(f"  opt_update {t_opt:.1f}")
+    floor = (t_bb_fbf + t_rpn_fb + t_rpntg + t_props6 + t_dettg
+             + t_ra_fb + t_dh + t_opt)
+    print(f"  stage-sum floor (frozen bb + rpn_fb + rpn_tgt + props6k + "
+          f"det_tgt + ra_fb + det_head + opt) = {floor:.1f} ms "
+          f"vs FULL joint {t_joint:.1f} "
+          f"(residual {t_joint - floor:+.1f} ms, "
+          f"{(t_joint - floor) / t_joint * 100:+.1f}%)")
     print(f"  props12k {t_props:.1f} | props6k {t_props6:.1f} "
           f"| det_tgt {t_dettg:.1f}")
     print(f"  ra_fwd {t_ra_fwd:.1f} | ra_fb {t_ra_fb:.1f} "
