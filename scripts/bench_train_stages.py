@@ -258,6 +258,21 @@ def main():
 
     t_dh = chain_time("det head fwd+bwd(input)", dh_fb, pooled0)
 
+    # --- det head fwd+bwd wrt params AND input — what the training step
+    # actually pays (conv/dense dW matmuls cost ~= the forward pass again);
+    # this is the stage the composite floor must use.
+    def dh_fbp(p):
+        def loss(pp, inp):
+            cl, rg = model.apply({"params": pp, "batch_stats": batch_stats},
+                                 inp, method=FasterRCNN.det_head)
+            return jnp.sum(cl) + jnp.sum(rg)
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, p)
+        gs = sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
+                 for l in jax.tree_util.tree_leaves(grads[0])[-3:])
+        return feedback(p, val + gs + jnp.sum(grads[1].astype(jnp.float32)))
+
+    t_dhp = chain_time("det head fwd+bwd(params+input)", dh_fbp, pooled0)
+
     # --- full joint step (fwd+bwd+optimizer)
     tx = make_optimizer(params, cfg.model.network, cfg.model.freeze_blocks,
                         1e-4, weight_decay=1e-4, clip_grad_norm=10.0)
@@ -310,16 +325,17 @@ def main():
           f"| rpn {t_rpn:.1f} | rpn_fb {t_rpn_fb:.1f} | rpn_tgt {t_rpntg:.1f}")
     print(f"  opt_update {t_opt:.1f}")
     floor = (t_bb_fbf + t_rpn_fb + t_rpntg + t_props6 + t_dettg
-             + t_ra_fb + t_dh + t_opt)
+             + t_ra_fb + t_dhp + t_opt)
     print(f"  stage-sum floor (frozen bb + rpn_fb + rpn_tgt + props6k + "
-          f"det_tgt + ra_fb + det_head + opt) = {floor:.1f} ms "
+          f"det_tgt + ra_fb + det_head(params+input) + opt) = {floor:.1f} ms "
           f"vs FULL joint {t_joint:.1f} "
           f"(residual {t_joint - floor:+.1f} ms, "
           f"{(t_joint - floor) / t_joint * 100:+.1f}%)")
     print(f"  props12k {t_props:.1f} | props6k {t_props6:.1f} "
           f"| det_tgt {t_dettg:.1f}")
     print(f"  ra_fwd {t_ra_fwd:.1f} | ra_fb {t_ra_fb:.1f} "
-          f"| ra_fb_einsum {t_ra_fbe:.1f} | det_head {t_dh:.1f}")
+          f"| ra_fb_einsum {t_ra_fbe:.1f} | det_head(input) {t_dh:.1f} "
+          f"| det_head(params+input) {t_dhp:.1f}")
     print(f"  joint {t_joint:.1f} | step2 {t_s2:.1f}")
 
 
