@@ -12,11 +12,18 @@ therefore exercise realistic decode ranges: positive box extents inside the
 image frame at trained-model score spreads.
 
 Gated on the seed h5 (produced by ``scripts/seeded_h5_derisk.py``; override
-with FRCNN_SEED_H5).  Goldens are captured on the CPU backend:
+with FRCNN_SEED_H5).  The per-detection golden is additionally pinned to the
+SHA-256 of the exact h5 it was captured from (GOLDEN_SEED_H5_SHA256): the h5
+is an uncommitted, regenerable artifact, so a regenerated seed tree produces
+*different but equally valid* detections — in that case the geometry
+invariants still run and the golden comparison skips with a loud reason
+instead of failing with confusing per-box errors.  To re-pin after a
+regeneration, capture on the CPU backend and update BOTH constants:
 
     JAX_PLATFORMS=cpu python -m tests.test_seeded_fixture
 """
 
+import hashlib
 import os
 import sys
 
@@ -31,6 +38,12 @@ REF = "/root/reference"
 VOC_TEST = os.path.join(REF, "test_data", "VOC_test")
 SEED_H5 = os.environ.get("FRCNN_SEED_H5", "/tmp/voc_real_proxy/r50_seed.h5")
 
+# SHA-256 of the seed h5 GOLDEN_SEEDED_DETS was captured from (r4 proxy-joint
+# run, 2026-08-19).  A mismatch means the proxy was re-run since capture.
+GOLDEN_SEED_H5_SHA256 = (
+    "3cb568aa79e49d9d87503bea740d06f36f50c47a4f9edcc988497cd36432d600"
+)
+
 needs_seed_h5 = pytest.mark.skipif(
     not os.path.exists(SEED_H5),
     reason="seeded h5 not present (run scripts/seeded_h5_derisk.py)",
@@ -38,6 +51,14 @@ needs_seed_h5 = pytest.mark.skipif(
 needs_voc = pytest.mark.skipif(
     not os.path.exists(VOC_TEST), reason="reference VOC mount not present"
 )
+
+
+def _seed_h5_sha256() -> str:
+    h = hashlib.sha256()
+    with open(SEED_H5, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
 
 
 def proxy_cfg():
@@ -127,14 +148,17 @@ def _seeded_forward_outputs(tmpdir: str):
     )
 
 
-# Captured on the CPU backend from the r4 proxy-joint seed h5 (mAP 0.5875
-# run).  000005's GT is 2 chairs + 3 difficult chairs/sofa; the seeded
-# model fires on the rendered chair textures with full-extent boxes.
+# Captured on the CPU backend from the r4 final proxy-joint seed h5 (sha256
+# pinned above).  000005's GT is 2 chairs + 3 difficult chairs/sofa; the
+# seeded model fires on the rendered chair textures with full-extent boxes.
 GOLDEN_SEEDED_DETS = [
-    (8, 2.24, 408.06, 122.92, 600.0, 0.9958),
-    (8, 271.06, 379.5, 436.08, 600.0, 0.9998),
-    (8, 439.47, 377.82, 560.99, 594.4, 0.9995),
-    (8, 584.13, 396.03, 714.83, 600.0, 0.9989),
+    (8, 6.18, 392.87, 103.8, 590.61, 0.9325),
+    (8, 16.72, 395.86, 99.21, 479.79, 0.5877),
+    (8, 265.11, 415.6, 417.58, 588.89, 0.9096),
+    (8, 286.56, 393.29, 509.39, 583.29, 0.7855),
+    (8, 374.74, 366.88, 508.09, 473.86, 0.8117),
+    (8, 386.86, 299.51, 519.07, 453.47, 0.8589),
+    (8, 388.38, 299.63, 462.33, 492.51, 0.7635),
 ]
 
 
@@ -144,11 +168,21 @@ def test_seeded_forward_golden(tmp_path):
     got = _seeded_forward_outputs(str(tmp_path))
     # Realistic-geometry invariants the random-init golden cannot offer:
     # every detection a positive-extent box inside the (padded) frame.
+    # These run for ANY seed h5, pinned or not.
     assert len(got) >= 3
     for c, x1, y1, x2, y2, s in got:
         assert x2 > x1 and y2 > y1, (c, x1, y1, x2, y2)
         assert x1 >= -50 and y1 >= -50 and x2 <= 1050 and y2 <= 650
         assert 0.0 < s <= 1.0
+    # The per-detection golden only applies to the exact h5 it was captured
+    # from; a regenerated proxy h5 is valid but different.
+    sha = _seed_h5_sha256()
+    if sha != GOLDEN_SEED_H5_SHA256:
+        pytest.skip(
+            f"seed h5 differs from golden capture (sha256 {sha[:12]}… != "
+            f"{GOLDEN_SEED_H5_SHA256[:12]}…): geometry invariants passed; "
+            "re-pin with JAX_PLATFORMS=cpu python -m tests.test_seeded_fixture"
+        )
     # Same per-detection pinning tightness as the transplant golden.
     assert len(got) == len(GOLDEN_SEEDED_DETS), (len(got), got)
     for g, ref in zip(got, GOLDEN_SEEDED_DETS):
