@@ -174,10 +174,15 @@ def test_scan_loop_matches_per_step_loop(mixed_voc):
         state_ref, m = jit_step(state_ref, batch, keys)
         per_step_metrics.append({kk: float(v) for kk, v in m.items()})
 
+    # Metrics get the same treatment as the params below: the scanned and
+    # standalone programs split threaded reductions differently, so loss
+    # scalars jitter at rtol ~2e-5 (observed: rpn_reg 0.01108203 vs
+    # 0.01108227).  rtol 1e-3 still catches any genuine batch/key/flip
+    # mismatch, which moves losses by 10-100%.
     for kk in per_step_metrics[0]:
         stacked = np.asarray(mstack[kk])
         for i in range(k_steps):
-            assert np.isclose(stacked[i], per_step_metrics[i][kk], rtol=1e-5), (
+            assert np.isclose(stacked[i], per_step_metrics[i][kk], rtol=1e-3), (
                 kk, i, stacked, per_step_metrics
             )
     # Two-tier tolerance (VERDICT r3 weak #1): the scanned and standalone
