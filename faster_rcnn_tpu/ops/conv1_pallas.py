@@ -42,14 +42,15 @@ f32 summation order (bf16 inputs, f32 accumulation on the MXU — same
 contract as the XLA conv).  tests/test_pallas.py pins both dtypes in
 interpreter mode; the TPU path max-rel-err vs XLA is 2.5e-3 (bf16).
 
-MEASURED RESULT (v5e, B=16 608x1024 bf16, chained — scripts/bench_conv1.py):
-**the kernel LOSES to XLA today: 12.0 ms vs 5.9 ms/iter.**  The XLA-side
+MEASURED RESULTS (v5e, B=16 608x1024 bf16, chained — scripts/bench_conv1.py):
+the v1 kernel above LOSES to XLA (12.0 ms vs 5.9 ms/iter) — the XLA-side
 phase-plane transpose and the per-row M=64/K=48 matmuls (<20% MXU tile
-occupancy) cost more than the channel-padding they remove.  `conv1_impl`
-therefore stays `'xla'` in production; this module is kept as the tested
-experimental implementation.  The remaining path to a win is building the
-patch matrix *inside* the kernel from raw NHWC rows (no XLA transpose) and
-folding all block rows into one wide matmul — see NOTES.md r3.
+occupancy) cost more than the channel padding they remove.  **The v2
+kernel below (`_conv1_pallas_v2_impl`: selection-einsum phase split, one
+K=192 MXU dot per output row) WINS: 4.02 ms vs XLA 5.82 ms**, and is the
+production default (`config.conv1_impl = 'pallas_v2'`, config.py); v1 is
+kept as the tested stepping-stone implementation.  History and per-variant
+timings: NOTES.md r3 (v1) and r4 (v2).
 """
 
 from __future__ import annotations

@@ -223,6 +223,13 @@ def sort_by_score(
       * CPU: argsort + gathers.  There the variadic sort is the pathological
         one (~10 min compiles) and argsort is instant.
     Invalid rows sink to the end (score -inf) either way.
+
+    Testing caveat: CI runs on CPU, so the blocked-NMS goldens pin only the
+    argsort branch; the TPU variadic-sort branch is exercised by the bench
+    and by tests/test_nms_tpu_sort.py (same-backend equivalence of the two
+    sorts).  On exactly tied scores the two branches may order ties
+    differently — production inputs are float32 sigmoid/softmax scores
+    where ties are measure-zero but not impossible.
     """
     s = jnp.where(valid, scores.astype(jnp.float32), NEG_INF)
     if jax.default_backend() == "tpu":

@@ -110,8 +110,12 @@ def main():
                                method=FasterRCNN.backbone, stop_grad_stage=sg)
             return jnp.sum(feat.astype(jnp.float32))
         val, grads = jax.value_and_grad(loss)(params)
+        # consume UNFROZEN-suffix backbone leaves: the tree's last leaves
+        # overall are rpn_head params, which get identically-zero gradient
+        # under a backbone-only apply, letting XLA dead-code-eliminate the
+        # whole backward pass (ADVICE r4)
         gs = sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
-                 for l in jax.tree_util.tree_leaves(grads)[-3:])
+                 for l in jax.tree_util.tree_leaves(grads["backbone"])[-3:])
         return feedback(x, val + gs)
 
     t_bb_fbf = chain_time(f"backbone fwd+bwd(frozen prefix, sg={sg})",
@@ -267,8 +271,11 @@ def main():
                                  inp, method=FasterRCNN.det_head)
             return jnp.sum(cl) + jnp.sum(rg)
         val, grads = jax.value_and_grad(loss, argnums=(0, 1))(params, p)
+        # consume det_head gradient leaves specifically: the full tree's last
+        # leaves are rpn_head params with zero gradient here, so summing them
+        # lets XLA eliminate every dW matmul (ADVICE r4 medium)
         gs = sum(jnp.sum(jnp.abs(l.astype(jnp.float32)))
-                 for l in jax.tree_util.tree_leaves(grads[0])[-3:])
+                 for l in jax.tree_util.tree_leaves(grads[0]["det_head"])[-3:])
         return feedback(p, val + gs + jnp.sum(grads[1].astype(jnp.float32)))
 
     t_dhp = chain_time("det head fwd+bwd(params+input)", dh_fbp, pooled0)
