@@ -315,6 +315,9 @@ def main():
     if only not in ("all", "train", "infer"):
         die(f"unknown bench selector {only!r} (use: all | train | infer)")
 
+    from faster_rcnn_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     wait_for_backend()
 
     def run_resilient(fn, *args, **kw):

@@ -70,6 +70,11 @@ def _round_up(x: int, m: int = 32) -> int:
 
 
 def config_from_args(args) -> FasterRcnnConfig:
+    # every CLI builds its config exactly once, before the first jit — the
+    # natural choke point to turn on the persistent XLA compile cache
+    from faster_rcnn_tpu.utils.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     cfg = voc_config(args.network)
     fb = getattr(args, "freeze_blocks", None)
     if fb is not None:
