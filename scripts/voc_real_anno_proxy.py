@@ -32,18 +32,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SRC_VOC = "/root/reference/test_data/VOC_test"
 
 
-def build_dataset(out: str, limit: int) -> None:
-    from faster_rcnn_tpu.data.synth_render import build_proxy_dataset
-    from faster_rcnn_tpu.data.voc import VOC_CLASS_MAPPING
-
+def build_dataset(out: str, limit: int, kitti: bool = False) -> None:
     marker = os.path.join(out, f".rendered_{limit or 'full'}")
     if os.path.exists(marker):
         print(f"dataset already rendered at {out}")
         return
     t0 = time.time()
-    names = build_proxy_dataset(
-        SRC_VOC, out, VOC_CLASS_MAPPING, img_sets=("train", "val"), limit=limit
-    )
+    if kitti:
+        from faster_rcnn_tpu.data.kitti_synth import build_kitti_synth_dataset
+        from faster_rcnn_tpu.data.voc import KITTI_CLASS_MAPPING
+
+        names = build_kitti_synth_dataset(
+            out, KITTI_CLASS_MAPPING,
+            n_train=limit or 1500, n_val=(limit or 1500) // 2,
+        )
+    else:
+        from faster_rcnn_tpu.data.synth_render import build_proxy_dataset
+        from faster_rcnn_tpu.data.voc import VOC_CLASS_MAPPING
+
+        names = build_proxy_dataset(
+            SRC_VOC, out, VOC_CLASS_MAPPING, img_sets=("train", "val"),
+            limit=limit,
+        )
     open(marker, "w").close()
     print(f"rendered {len(names)} images in {time.time()-t0:.0f}s -> {out}")
 
@@ -96,17 +106,23 @@ def _train_device_cached(args, data: str, workdir: str) -> None:
     import dataclasses
 
     from faster_rcnn_tpu.cli.common import config_from_args as cfg_from
-    from faster_rcnn_tpu.data.voc import VOC_CLASS_MAPPING, load_dataset
+    from faster_rcnn_tpu.data.voc import (
+        KITTI_CLASS_MAPPING,
+        VOC_CLASS_MAPPING,
+        load_dataset,
+    )
     from faster_rcnn_tpu.train.device_cache import train_cached
     from faster_rcnn_tpu.train.schedule import phases_from_str
     from faster_rcnn_tpu.train.trainer import merge_params
 
+    mapping = KITTI_CLASS_MAPPING if args.kitti_synth else VOC_CLASS_MAPPING
+
     class _A:  # minimal arg bag for config_from_args
         voc_paths = data
-        network = "resnet50"
-        resize_dims = "600,1000"
-        anchor_scales = "16,32,64,128,256,512"
-        kitti = False
+        network = args.network
+        resize_dims = args.resize_dims
+        anchor_scales = args.anchor_scales
+        kitti = args.kitti_synth
         freeze_blocks = "none"
 
     cfg = cfg_from(_A())
@@ -115,6 +131,7 @@ def _train_device_cached(args, data: str, workdir: str) -> None:
             cfg.train,
             phases=tuple(tuple(p) for p in phases_from_str(args.phases)),
             batch_size=args.batch, clip_grad_norm=10.0,
+            seed=args.train_seed,
         )
     )
     if args.pre_nms:
@@ -135,8 +152,8 @@ def _train_device_cached(args, data: str, workdir: str) -> None:
         seed_params = _load_seed_params(args.seed_from, _vars["params"])
 
     if args.mode == "joint":
-        train_cached("joint", cfg, records, VOC_CLASS_MAPPING, workdir,
-                     batch_size=args.batch,
+        train_cached("joint", cfg, records, mapping, workdir,
+                     batch_size=args.batch, seed=args.train_seed,
                      init_params=(merge_params(
                          _fresh_params(cfg), seed_params, ["backbone"])
                          if seed_params is not None else None))
@@ -150,18 +167,20 @@ def _train_device_cached(args, data: str, workdir: str) -> None:
              if seed_params is not None else None)
     init2 = (merge_params(fresh, seed_params, ["backbone"])
              if seed_params is not None else fresh)
-    r1 = train_cached(1, cfg, records, VOC_CLASS_MAPPING, workdir,
-                      batch_size=args.batch, init_params=init1)
-    r2 = train_cached(2, cfg, records, VOC_CLASS_MAPPING, workdir,
+    r1 = train_cached(1, cfg, records, mapping, workdir,
+                      batch_size=args.batch, init_params=init1,
+                      seed=args.train_seed)
+    r2 = train_cached(2, cfg, records, mapping, workdir,
                       batch_size=args.batch, init_params=init2,
-                      rpn_params=r1.params)
+                      rpn_params=r1.params, seed=args.train_seed)
     init3 = merge_params(fresh, r2.params, ["backbone"])
-    r3 = train_cached(3, cfg, records, VOC_CLASS_MAPPING, workdir,
-                      batch_size=args.batch, init_params=init3)
+    r3 = train_cached(3, cfg, records, mapping, workdir,
+                      batch_size=args.batch, init_params=init3,
+                      seed=args.train_seed)
     init4 = merge_params(fresh, r3.params, ["backbone", "rpn_head"])
-    train_cached(4, cfg, records, VOC_CLASS_MAPPING, workdir,
+    train_cached(4, cfg, records, mapping, workdir,
                  batch_size=args.batch, init_params=init4,
-                 rpn_params=r3.params)
+                 rpn_params=r3.params, seed=args.train_seed)
 
 
 def _fresh_params(cfg):
@@ -201,19 +220,36 @@ def main():
                         "ImageNet path).  The backbone tree seeds every "
                         "step's fresh model, mirroring the reference's "
                         "by_name ImageNet loads.")
+    p.add_argument("--network", default="resnet50",
+                   choices=("vgg16", "resnet50", "resnet101"),
+                   help="backbone for the quality matrix (VERDICT r4 #3)")
+    p.add_argument("--train_seed", type=int, default=0,
+                   help="cfg.train.seed: init + sampling key stream, for "
+                        "multi-seed mean±σ statistics (VERDICT r4 #8)")
+    p.add_argument("--resize_dims", default="600,1000")
+    p.add_argument("--anchor_scales", default="16,32,64,128,256,512")
+    p.add_argument("--kitti_synth", action="store_true",
+                   help="train/eval on the synthetic KITTI-statistics "
+                        "dataset (data/kitti_synth.py) with the 9-class "
+                        "KITTI mapping — pair with --resize_dims 600,1500")
     args = p.parse_args()
 
-    data = os.path.join(args.base, "VOC")
+    data = os.path.join(args.base, "KITTI" if args.kitti_synth else "VOC")
     suffix = f"_{args.tag}" if args.tag else ""
     workdir = os.path.join(args.base, f"work_{args.mode}{suffix}")
-    build_dataset(data, args.limit)
+    build_dataset(data, args.limit, kitti=args.kitti_synth)
 
     from faster_rcnn_tpu.cli import detect as detect_cli
     from faster_rcnn_tpu.cli import train as train_cli
-    from faster_rcnn_tpu.data.voc import VOC_CLASS_MAPPING
+    from faster_rcnn_tpu.data.voc import KITTI_CLASS_MAPPING, VOC_CLASS_MAPPING
     from faster_rcnn_tpu.evaluate import eval_all
 
-    common = ["--voc_paths", data, "--network", "resnet50"]
+    mapping = KITTI_CLASS_MAPPING if args.kitti_synth else VOC_CLASS_MAPPING
+    common = ["--voc_paths", data, "--network", args.network,
+              "--resize_dims", args.resize_dims,
+              "--anchor_scales", args.anchor_scales]
+    if args.kitti_synth:
+        common.append("--kitti")
     if not args.skip_train:
         t0 = time.time()
         if args.loader:
@@ -238,7 +274,7 @@ def main():
             "--out_dir", dets, "--batch_size", str(max(args.batch, 32)),
         ])
         print(f"detection ({tag}) took {time.time()-t0:.0f}s")
-        aps = eval_all(dets, data, VOC_CLASS_MAPPING, img_set="val", verbose=True)
+        aps = eval_all(dets, data, mapping, img_set="val", verbose=True)
         print(f"[{args.mode}/{tag}] mAP = {aps['mAP']:.4f}")
         return aps
 
