@@ -15,7 +15,46 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def _frozen_affine(x, mean, inv, bias):
+    """y = (f32(x) - mean) * inv + bias, cast back to x.dtype; fast backward.
+
+    Forward is the exact f32 arithmetic FrozenBatchNorm always used (goldens
+    and the Keras h5 parity contract depend on it bit-for-bit).  The custom
+    backward computes dx = cot * inv in the COTANGENT'S dtype instead of
+    letting autodiff route it through f32: measured on v5e (B=16 608x1024
+    bf16, scripts/bench_bn_fold.py), the f32 backward path costs 10% of
+    backbone fwd+bwd (23.3 -> 21.0 ms/iter with this VJP), while forward
+    time is unchanged in ALL variants — XLA already fuses the f32 affine
+    into adjacent ops, so folding weights into convs (VERDICT r4 #6) buys
+    nothing on the forward path and this is the whole available win.
+
+    The per-channel cotangents (mean/inv/bias) are returned as ZEROS: these
+    leaves are permanently frozen by the layer's contract (module docstring;
+    reference resnet.py bn_training=False) and parallel/freeze.py excludes
+    them from every optimizer, so autodiff's reductions over the full map
+    would be dead code anyway.  If BN params are ever made trainable, this
+    VJP must be revisited.
+    """
+    y = (x.astype(jnp.float32) - mean) * inv + bias
+    return y.astype(x.dtype)
+
+
+def _frozen_affine_fwd(x, mean, inv, bias):
+    return _frozen_affine(x, mean, inv, bias), inv
+
+
+def _frozen_affine_bwd(inv, cot):
+    dx = cot * inv.astype(cot.dtype)  # cot.dtype == x.dtype by construction
+    z = jnp.zeros_like(inv)  # frozen per-channel leaves (see docstring)
+    return dx, z, z, z
+
+
+_frozen_affine.defvjp(_frozen_affine_fwd, _frozen_affine_bwd)
 
 
 class FrozenBatchNorm(nn.Module):
@@ -37,8 +76,9 @@ class FrozenBatchNorm(nn.Module):
         mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
         inv = scale / jnp.sqrt(var.value + self.epsilon)
-        y = (x.astype(jnp.float32) - mean.value) * inv + bias
-        return y.astype(self.dtype)
+        # x is already self.dtype in every model path (the preceding conv
+        # runs at module dtype); the astype is an identity guard
+        return _frozen_affine(x.astype(self.dtype), mean.value, inv, bias)
 
 
 class ChannelScale(nn.Module):
@@ -53,4 +93,7 @@ class ChannelScale(nn.Module):
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        return (x.astype(jnp.float32) * gamma + beta).astype(self.dtype)
+        # x*γ+β == (x-0)*γ+β: reuse the frozen-affine custom VJP (same
+        # frozen-params contract — reference Scale trainable=bn_training)
+        return _frozen_affine(
+            x.astype(self.dtype), jnp.zeros_like(gamma), gamma, beta)
