@@ -52,13 +52,15 @@ next && run_item joint_kitti 7000 /tmp/kitti_proxy joint \
 # --- 4-step multi-seed at reference per-step-full-schedule semantics ---
 next && run_item fourstep_seed1 9000 /tmp/voc_real_proxy all \
   --train_seed 1 --tag s4seed1
-next && run_item fourstep_seed2 9000 /tmp/voc_real_proxy all \
-  --train_seed 2 --tag s4seed2
 
 # --- pre-NMS 12000 vs 6000 neutrality, with seed spread ---
 next && run_item pre12k_seed1 4500 /tmp/voc_real_proxy joint \
   --train_seed 1 --pre_nms 12000 --tag p12ks1
 next && run_item pre12k_seed2 4500 /tmp/voc_real_proxy joint \
   --train_seed 2 --pre_nms 12000 --tag p12ks2
+
+# --- 3rd 4-step seed last (least marginal value if time runs out) ---
+next && run_item fourstep_seed2 9000 /tmp/voc_real_proxy all \
+  --train_seed 2 --tag s4seed2
 
 echo "QUEUE COMPLETE $(date -u)" >> "$LOG/RESULTS.txt"
