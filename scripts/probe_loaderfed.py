@@ -23,6 +23,7 @@ Run with the chip idle; prints one JSON line per variant.
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -30,8 +31,16 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-STEPS = 30
-B = 16
+if os.environ.get("PROBE_CPU"):
+    # the env sitecustomize pins the axon TPU platform; the JAX_PLATFORMS env
+    # var does NOT override it — only the config call does (see
+    # .claude/skills/verify/SKILL.md gotchas)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 
 
 def build(cfg_batch=B):
