@@ -100,6 +100,8 @@ def run_variant(tag, loader_iter, step_fn, state, host_keys):
     canvas, hb = next(loader_iter)
     batch = {k: jnp.asarray(v) for k, v in hb.items()}
     keys = jax.random.split(jax.random.split(key)[1], B)
+    if host_keys:
+        keys = jax.device_put(np.asarray(keys))
     state, _ = step_fn(state, batch, keys)
     jax.block_until_ready(state.params)
 
