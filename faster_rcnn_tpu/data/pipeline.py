@@ -111,7 +111,7 @@ class TrainLoader:
         batch_size: int,
         seed: int = 0,
         prefetch: int = 4,
-        num_workers: int = 0,  # 0 = auto: min(4, cpu_count)
+        num_workers: int = 0,  # 0 = auto, scaled to batch size (see below)
         uint8: bool = False,
     ):
         self.cfg = cfg
@@ -126,7 +126,15 @@ class TrainLoader:
         if num_workers <= 0:
             import os
 
-            num_workers = min(4, os.cpu_count() or 1)
+            # Auto worker count scales with the batch this process must feed:
+            # one chip at B=16 needs ~178 img/s (BENCH r4 joint step) and one
+            # core decodes ~85 img/s VOC / ~30 img/s KITTI (bench_loader.py),
+            # so a fixed small cap starves larger local batches (e.g. a
+            # v5e-8 host feeding B=128 across 8 chips).  Each worker holds at
+            # most one prepared batch beside the prefetch queue, so host
+            # memory is bounded by (workers + prefetch) uint8 batches
+            # (~30 MB each at the VOC canvas).
+            num_workers = min(os.cpu_count() or 1, max(8, batch_size))
         self._num_workers = num_workers
 
     def _record_stream(self) -> Iterator[Tuple[Tuple[int, int], List[ImageRecord]]]:
